@@ -1,0 +1,5 @@
+from .config import (Config, get_cfg, init_cfg, print_cfg, save_cfg,
+                     update_cfg)
+from .constant import (DOTA1_5_CLASSES, DOTA1_CLASSES, DOTA2_CLASSES,
+                       FAIR1M_1_5_CLASSES, FAIR1M_MAPPING, FAIR_CLASSES,
+                       FAIR_CLASSES_, SSDD_CLASSES, get_classes_by_name)
