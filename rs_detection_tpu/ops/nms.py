@@ -1,0 +1,113 @@
+"""Horizontal-box NMS (replaces the reference's ``jt.nms`` builtin,
+``python/jdet/ops/nms.py``).
+
+TPU-native design: fixed shapes, mask semantics. ``nms_mask`` is the
+jit path used inside compiled proposal generation; ``nms`` is the
+eager/indices convenience wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bbox_overlaps_hbb(boxes1, boxes2, mode: str = "iou", offset: float = 0.0):
+    """Pairwise hbb IoU: [N, 4] x [M, 4] -> [N, M]."""
+    xp = jnp if isinstance(boxes1, jnp.ndarray) else np
+    tl = xp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    br = xp.minimum(boxes1[:, None, 2:4], boxes2[None, :, 2:4])
+    wh = xp.clip(br - tl + offset, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area1 = ((boxes1[:, 2] - boxes1[:, 0] + offset)
+             * (boxes1[:, 3] - boxes1[:, 1] + offset))
+    if mode == "iof":
+        denom = area1[:, None]
+    else:
+        area2 = ((boxes2[:, 2] - boxes2[:, 0] + offset)
+                 * (boxes2[:, 3] - boxes2[:, 1] + offset))
+        denom = area1[:, None] + area2[None, :] - inter
+    return xp.where(denom > 0, inter / xp.where(denom > 0, denom, 1.0), 0.0)
+
+
+def _greedy_suppress(iou: jnp.ndarray, order_valid: jnp.ndarray,
+                     thresh: float) -> jnp.ndarray:
+    """Sequential greedy suppression over score-sorted boxes.
+
+    ``iou`` is the [N, N] matrix of the *sorted* boxes; returns a keep
+    mask in sorted order. Branch-free lax.fori_loop — the only truly
+    sequential part of NMS.
+    """
+    n = iou.shape[0]
+    over = iou > thresh
+
+    def body(i, suppressed):
+        alive = jnp.logical_not(suppressed[i]) & order_valid[i]
+        # row i suppresses all later boxes it overlaps, iff i is alive
+        row = over[i] & alive
+        later = jnp.arange(n) > i
+        return suppressed | (row & later)
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    return jnp.logical_not(suppressed) & order_valid
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nms_mask(boxes, scores, iou_threshold, valid=None):
+    """Keep mask (input order) for hbb NMS with static shapes.
+
+    Args:
+      boxes: [N, 4]; scores: [N]; valid: optional [N] bool mask for
+        padded entries (treated as score -inf).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    s = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    b = boxes[order]
+    iou = bbox_overlaps_hbb(b, b)
+    keep_sorted = _greedy_suppress(iou, valid[order], iou_threshold)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms(boxes, scores, iou_threshold):
+    """Eager helper: returns kept indices sorted by descending score
+    (reference ``ops/nms.py:4``)."""
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), np.int64)
+    keep = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                               iou_threshold))
+    idx = np.nonzero(keep)[0]
+    return idx[np.argsort(-scores[idx])]
+
+
+def multiclass_nms(mlvl_bboxes, mlvl_scores, score_thr, nms_cfg, max_num=-1):
+    """Per-class hbb NMS (reference ``ops/nms.py:11``), eager."""
+    num_classes = mlvl_scores.shape[1]
+    out_boxes, out_labels = [], []
+    iou_thr = nms_cfg.get("iou_thr", 0.5)
+    for c in range(num_classes):
+        mask = mlvl_scores[:, c] > score_thr
+        if not mask.any():
+            continue
+        boxes_c = mlvl_bboxes[mask]
+        scores_c = mlvl_scores[mask, c]
+        keep = nms(boxes_c, scores_c, iou_thr)
+        dets = np.concatenate([boxes_c[keep], scores_c[keep, None]], 1)
+        out_boxes.append(dets)
+        out_labels.append(np.full((len(keep),), c, np.int64))
+    if not out_boxes:
+        return np.zeros((0, 5), np.float32), np.zeros((0,), np.int64)
+    dets = np.concatenate(out_boxes, 0)
+    labels = np.concatenate(out_labels, 0)
+    order = np.argsort(-dets[:, 4])
+    if max_num > 0:
+        order = order[:max_num]
+    return dets[order], labels[order]
