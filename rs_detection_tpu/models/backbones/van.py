@@ -1,0 +1,172 @@
+"""VAN (Visual Attention Network) backbone — the competition backbone.
+
+Capability parity with the reference VAN
+(``python/jdet/models/backbones/van.py:309-483``): overlap patch embeds,
+LKA large-kernel attention (5x5 dw + 7x7 dw-dilated-3 + 1x1), layer
+scale, conv-Mlp with depthwise 3x3, per-stage LayerNorm; variants
+b0..b3 (b3 = VAN-Large, ``van_b3`` :471-483 — depths [3, 5, 27, 3]).
+
+TPU-first: NHWC; LayerNorm over channels applied directly on the NHWC
+tensor (equivalent to the reference's flatten->LN->reshape dance);
+depthwise convs map to XLA's grouped convolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...utils.registry import BACKBONES
+from ..utils.modules import DropPath, Norm, kaiming_normal_fanout
+
+
+def _dwconv(x, features, kernel, dilation=1, name=None):
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), padding=pad,
+                   kernel_dilation=(dilation, dilation),
+                   feature_group_count=features, use_bias=True,
+                   kernel_init=kaiming_normal_fanout(), dtype=x.dtype,
+                   name=name)(x)
+
+
+class LKA(nn.Module):
+    """Large-kernel attention (reference ``AttentionModule`` :179-196)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        u = x
+        attn = _dwconv(x, self.dim, 5, name="conv0")
+        attn = _dwconv(attn, self.dim, 7, dilation=3, name="conv_spatial")
+        attn = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
+                       kernel_init=kaiming_normal_fanout(),
+                       name="conv1")(attn)
+        return u * attn
+
+
+class SpatialAttention(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
+                    kernel_init=kaiming_normal_fanout(), name="proj_1")(x)
+        x = nn.gelu(x)
+        x = LKA(self.dim, name="sgu")(x)
+        x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
+                    kernel_init=kaiming_normal_fanout(), name="proj_2")(x)
+        return x + shortcut
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.hidden, (1, 1), dtype=x.dtype,
+                    kernel_init=kaiming_normal_fanout(), name="fc1")(x)
+        x = _dwconv(x, self.hidden, 3, name="dwconv")
+        x = nn.gelu(x)
+        x = nn.Conv(self.out, (1, 1), dtype=x.dtype,
+                    kernel_init=kaiming_normal_fanout(), name="fc2")(x)
+        return x
+
+
+class VANBlock(nn.Module):
+    dim: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ls1 = self.param("layer_scale_1",
+                         nn.initializers.constant(1e-2), (self.dim,))
+        ls2 = self.param("layer_scale_2",
+                         nn.initializers.constant(1e-2), (self.dim,))
+        h = Norm("bn", name="norm1")(x, train)
+        h = SpatialAttention(self.dim, name="attn")(h)
+        x = x + DropPath(self.drop_path)(ls1 * h, deterministic=not train)
+        h = Norm("bn", name="norm2")(x, train)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
+        x = x + DropPath(self.drop_path)(ls2 * h, deterministic=not train)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    dim: int
+    patch: int = 7
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    (self.stride, self.stride), padding=self.patch // 2,
+                    kernel_init=kaiming_normal_fanout(), dtype=x.dtype,
+                    name="proj")(x)
+        return Norm("bn", name="norm")(x, train)
+
+
+class VAN(nn.Module):
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    mlp_ratios: Sequence[float] = (8, 8, 4, 4)
+    depths: Sequence[int] = (3, 5, 27, 3)
+    drop_path_rate: float = 0.0
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        cur = 0
+        outs = []
+        for i, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
+            x = OverlapPatchEmbed(dim,
+                                  patch=7 if i == 0 else 3,
+                                  stride=4 if i == 0 else 2,
+                                  name=f"patch_embed{i+1}")(x, train)
+            for j in range(depth):
+                x = VANBlock(dim, self.mlp_ratios[i],
+                             float(dpr[cur + j]),
+                             name=f"block{i+1}_{j}")(x, train)
+            cur += depth
+            # per-stage LayerNorm over channels (token-LN equivalent)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
+                             name=f"norm{i+1}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
+_VAN_ARCH = {
+    "van_b0": dict(embed_dims=(32, 64, 160, 256), mlp_ratios=(8, 8, 4, 4),
+                   depths=(3, 3, 5, 2)),
+    "van_b1": dict(embed_dims=(64, 128, 320, 512), mlp_ratios=(8, 8, 4, 4),
+                   depths=(2, 2, 4, 2)),
+    "van_b2": dict(embed_dims=(64, 128, 320, 512), mlp_ratios=(8, 8, 4, 4),
+                   depths=(3, 3, 12, 3)),
+    "van_b3": dict(embed_dims=(64, 128, 320, 512), mlp_ratios=(8, 8, 4, 4),
+                   depths=(3, 5, 27, 3)),
+}
+
+
+def _make_van(arch):
+    @BACKBONES.register_module(name=arch)
+    def ctor(pretrained=False, **kw):
+        cfg = dict(_VAN_ARCH[arch])
+        kw.pop("img_size", None)
+        kw.pop("num_classes", None)
+        kw.pop("flag", None)
+        cfg.update(kw)
+        return VAN(**cfg)
+    return ctor
+
+
+for _a in _VAN_ARCH:
+    _make_van(_a)
+
+BACKBONES.register_module(name="VAN", module=VAN)
