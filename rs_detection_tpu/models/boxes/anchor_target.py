@@ -62,7 +62,8 @@ def anchor_target_single(anchors: jnp.ndarray,
                          key: Optional[jax.Array] = None,
                          pos_weight: float = -1.0,
                          gt_bboxes_ignore=None,
-                         gt_ignore_mask=None) -> AnchorTargetResult:
+                         gt_ignore_mask=None,
+                         gt_bboxes_encode=None) -> AnchorTargetResult:
     """One image. ``encode_fn(anchors, gts) -> deltas`` decides D.
 
     Parity: ``anchor_target_single`` (reference ``:105-180``) with the
@@ -78,9 +79,13 @@ def anchor_target_single(anchors: jnp.ndarray,
     else:
         pos_mask, neg_mask = sampler.sample(assigned, key)
 
-    # dense encode: every anchor against its (clamped) matched gt
+    # dense encode: every anchor against its (clamped) matched gt.
+    # ``gt_bboxes_encode`` lets assignment and encoding use different
+    # box types (RPN assigns on the gt's hbb but encodes the obb —
+    # reference oriented_rpn_head.py:300-316).
     matched = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
-    matched_gts = gt_bboxes[matched]
+    encode_gts = gt_bboxes if gt_bboxes_encode is None else gt_bboxes_encode
+    matched_gts = encode_gts[matched]
     targets = encode_fn(anchors, matched_gts)
     d = targets.shape[-1]
     bbox_weights = jnp.where(pos_mask[:, None],
