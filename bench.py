@@ -1,0 +1,77 @@
+"""Benchmark: Oriented R-CNN (VAN-b3) end-to-end inference throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures 1024x1024 DOTA-tile inference (the BASELINE.json north-star
+metric: >= 400 tiles/sec/chip e2e on v5e-8 for Oriented R-CNN VAN-b3).
+The reference publishes no throughput numbers (SURVEY §6), so
+``vs_baseline`` is reported against the 400 tiles/sec/chip target.
+
+Usage: python bench.py [--tiny] [--batch N] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="small model/images (CPU smoke mode)")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    on_tpu = any(d.platform not in ("cpu",) for d in jax.devices())
+    tiny = args.tiny or not on_tpu
+    batch = args.batch or (4 if not tiny else 1)
+    img = 256 if tiny else 1024
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _dummy_targets, _flagship
+
+    model = _flagship(tiny=tiny)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, img, img, 3).astype(np.float32))
+    targets = _dummy_targets(batch, img)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sampler": jax.random.PRNGKey(1)},
+                           images[:1], _dummy_targets(1, img))
+
+    fwd = jax.jit(lambda v, i, t: model.apply(v, i, t,
+                                              method=model.predict))
+    # warmup / compile
+    out = fwd(variables, images, targets)
+    jax.block_until_ready(out)
+    for _ in range(args.warmup - 1):
+        jax.block_until_ready(fwd(variables, images, targets))
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(variables, images, targets)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = batch * args.iters / dt
+    target = 400.0  # BASELINE.json north star (tiles/sec/chip)
+    print(json.dumps({
+        "metric": "orcnn_vanb3_1024tile_infer" if not tiny
+        else "orcnn_tiny_smoke_infer",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(tiles_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,355 @@
+"""Train/eval engine.
+
+Capability parity with the reference ``Runner``
+(``python/jdet/runner/runner.py:24-293``): builds model + optimizer +
+scheduler + datasets from the global config, epoch loop with per-iter
+loss logging / FPS / ETA, checkpoint save + auto-resume
+(``search_ckpt``), SWA switch-over at ``swa_start_epoch``, ``val()``
+with dataset mAP evaluation, ``test()`` with flip-TTA + tile-merge
+submission, ``run_on_images`` visualization hook, and the
+``test_time()`` 100-iter micro-benchmark.
+
+TPU-first: the train step is one jitted DP function over a device mesh
+(gradient psum via shardings, not MPI); checkpoints are numpy pytrees
+(flax state dicts) saved with pickle — portable and mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..config import get_cfg, save_cfg
+from ..data.collate import collate_batch
+from ..optims import lr_scheduler as lrs
+from ..optims import optimizer as opt_factory
+from ..parallel.train_step import (TrainState, create_mesh,
+                                   create_train_state, make_eval_step,
+                                   make_train_step)
+from ..utils.general import build_file, check_interval, search_ckpt
+from ..utils.logger import RunLogger
+from ..utils.registry import (DATASETS, MODELS, OPTIMS, SCHEDULERS,
+                              build_from_cfg)
+from ..ops.box_ops import obb2poly, poly_to_rotated_box_np
+
+
+def _build_scheduler(cfg, steps_per_epoch):
+    if cfg is None:
+        return lambda step: 1.0
+    scfg = {k: v for k, v in dict(cfg).items() if k != "type"}
+    sched = build_from_cfg(dict(cfg), SCHEDULERS)
+
+    def schedule(step):
+        epoch = step / max(steps_per_epoch, 1)
+        return sched(1.0, step, epoch)
+
+    _ = scfg
+    return schedule
+
+
+class Runner:
+    def __init__(self, mesh=None):
+        cfg = get_cfg()
+        self.cfg = cfg
+        self.work_dir = os.path.abspath(cfg.work_dir or "work_dirs/run")
+        self.max_epoch = cfg.max_epoch or 12
+        self.max_iter = cfg.max_iter
+        self.checkpoint_interval = cfg.checkpoint_interval or 1
+        self.eval_interval = cfg.eval_interval
+        self.log_interval = cfg.log_interval or 50
+        self.swa_start_epoch = cfg.swa_start_epoch
+
+        os.makedirs(self.work_dir, exist_ok=True)
+        save_cfg(os.path.join(self.work_dir, "config.yaml"))
+        self.logger = RunLogger(self.work_dir)
+
+        self.model = build_from_cfg(cfg.model, MODELS)
+        self.train_dataset = build_from_cfg(
+            cfg.dataset and cfg.dataset.get("train"), DATASETS)
+        self.val_dataset = build_from_cfg(
+            cfg.dataset and cfg.dataset.get("val"), DATASETS)
+        self.test_dataset = build_from_cfg(
+            cfg.dataset and cfg.dataset.get("test"), DATASETS)
+
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.epoch = 0
+        self.iter = 0
+        self.state: Optional[TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+        self._swa_active = False
+
+        if self.train_dataset is not None:
+            steps = max(1, len(self.train_dataset)
+                        // self.train_dataset.batch_size)
+            self.steps_per_epoch = steps
+        else:
+            self.steps_per_epoch = 1
+
+        self._build_optimizers()
+
+        # auto-resume
+        ckpt = search_ckpt(self.work_dir)
+        if cfg.resume_path:
+            self.load(cfg.resume_path, model_only=False)
+        elif ckpt:
+            self.load(ckpt, model_only=False)
+        elif cfg.pretrained_weights:
+            self.load(cfg.pretrained_weights, model_only=True)
+
+    # ------------------------------------------------------------------
+
+    def _build_optimizers(self):
+        cfg = self.cfg
+        opt_cfg = dict(cfg.optimizer or dict(type="SGD", lr=0.01))
+        base_lr = opt_cfg.get("lr", 0.01)
+        schedule = _build_scheduler(cfg.scheduler, self.steps_per_epoch)
+        opt_cfg["lr"] = lambda step: base_lr * schedule(step)
+        self.tx = build_from_cfg(opt_cfg, OPTIMS)
+
+        self.tx_swa = None
+        if cfg.optimizer_swa is not None:
+            swa_cfg = dict(cfg.optimizer_swa)
+            swa_lr = swa_cfg.get("lr", base_lr)
+            sw_sched = _build_scheduler(cfg.scheduler_swa,
+                                        self.steps_per_epoch)
+            swa_cfg["lr"] = lambda step: swa_lr * sw_sched(step)
+            self.tx_swa = build_from_cfg(swa_cfg, OPTIMS)
+
+    def _init_state(self, images, targets):
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(self.cfg.seed or 0),
+             "sampler": jax.random.PRNGKey(1)},
+            jnp.asarray(images[:1]),
+            jax.tree_util.tree_map(lambda a: jnp.asarray(a[:1]), targets))
+        if self._pending_variables is not None:
+            variables = self._merge_loaded(variables,
+                                           self._pending_variables)
+            self._pending_variables = None
+        self.state = create_train_state(self.model, variables, self.tx)
+        self._train_step = make_train_step(self.model, self.tx,
+                                           mesh=self.mesh)
+
+    _pending_variables = None
+
+    @staticmethod
+    def _merge_loaded(init_vars, loaded):
+        return serialization.from_state_dict(init_vars, loaded)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def finish(self):
+        if self.max_iter is not None:
+            return self.iter >= self.max_iter
+        return self.epoch >= self.max_epoch
+
+    def run(self):
+        self.logger.print_log({"msg": "start running"})
+        while not self.finish:
+            self.train()
+            if check_interval(self.epoch - 1, self.eval_interval):
+                self.val()
+            if check_interval(self.epoch - 1, self.checkpoint_interval):
+                self.save()
+        self.save()
+        if self.val_dataset is not None:
+            self.val()
+
+    def train(self):
+        assert self.train_dataset is not None, "no train dataset"
+        # SWA switch-over (reference runner.py:142-150)
+        if (self.swa_start_epoch is not None and self.tx_swa is not None
+                and self.epoch >= self.swa_start_epoch
+                and not self._swa_active):
+            self._swa_active = True
+            if self.state is not None:
+                self.state = self.state._replace(
+                    opt_state=self.tx_swa.init(self.state.params))
+            self._train_step = None
+            self.tx = self.tx_swa
+
+        rng = jax.random.PRNGKey(self.cfg.seed or 0)
+        t_start = time.time()
+        n_imgs = 0
+        with self.mesh:
+            for images, targets, _ in self.train_dataset.prefetch(
+                    seed=self.epoch):
+                if self.state is None or self._train_step is None:
+                    self._init_state(images, targets)
+                images = jnp.asarray(images)
+                targets = jax.tree_util.tree_map(jnp.asarray, targets)
+                self.state, metrics = self._train_step(
+                    self.state, images, targets, rng)
+                self.iter += 1
+                n_imgs += images.shape[0]
+                if check_interval(self.iter - 1, self.log_interval):
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t_start
+                    fps = n_imgs / max(dt, 1e-9)
+                    remaining = (self.max_epoch * self.steps_per_epoch
+                                 - self.iter)
+                    eta = remaining * dt / max(self.iter, 1)
+                    self.logger.log(dict(
+                        name=self.cfg.name or "run",
+                        epoch=self.epoch, iter=self.iter,
+                        fps=round(fps, 2), eta_s=int(eta), **metrics))
+                if self.finish:
+                    break
+        self.epoch += 1
+
+    # ------------------------------------------------------------------
+
+    def _get_eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.model, mesh=None)
+        return self._eval_step
+
+    def _variables(self):
+        v = {"params": self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    @staticmethod
+    def postprocess_dense(out: Dict, metas, score_thresh=0.05):
+        """Dense device outputs -> per-image (polys, scores, labels)
+        lists (host, numpy) matching the reference eval contract."""
+        polys = np.asarray(out["polys"])
+        scores = np.asarray(out["scores"])
+        valid = np.asarray(out["valid"])
+        results = []
+        for i, meta in enumerate(metas):
+            if meta is None:
+                continue
+            p, s, v = polys[i], scores[i], valid[i]
+            keep = v[:, None] & (s > score_thresh)      # [P, C]
+            ri, ci = np.nonzero(keep)
+            results.append((p[ri], s[ri, ci], ci + 1))
+        return results
+
+    def val(self):
+        if self.val_dataset is None:
+            self.logger.print_log({"msg": "no val dataset, skip"})
+            return {}
+        eval_step = self._get_eval_step()
+        results = []
+        for images, targets, metas in self.val_dataset.batches():
+            out = eval_step(self._variables(), jnp.asarray(images),
+                            jax.tree_util.tree_map(jnp.asarray, targets))
+            dets = self.postprocess_dense(out, metas)
+            for det, meta in zip(dets, [m for m in metas if m]):
+                results.append((det, meta))
+        aps = self.val_dataset.evaluate(results, self.work_dir,
+                                        self.epoch, self.logger)
+        self.logger.log({k: float(v) for k, v in aps.items()})
+        return aps
+
+    def test(self, flip_test=False):
+        """Tile inference (+ optional flip TTA) -> pickle -> merge."""
+        assert self.test_dataset is not None
+        eval_step = self._get_eval_step()
+        results = []
+        modes = [None] + (["H", "V", "HV"] if flip_test else [])
+        for mode in modes:
+            for images, targets, metas in self.test_dataset.batches(
+                    flip_mode=mode):
+                out = eval_step(self._variables(), jnp.asarray(images),
+                                jax.tree_util.tree_map(jnp.asarray,
+                                                       targets))
+                dets = self.postprocess_dense(out, metas)
+                live = [m for m in metas if m]
+                for det, meta in zip(dets, live):
+                    results.append((det, meta))
+        save_file = build_file(self.work_dir,
+                               f"test/test_{self.epoch}.pkl")
+        with open(save_file, "wb") as f:
+            pickle.dump(results, f)
+        self.logger.print_log({"msg": f"test results -> {save_file}"})
+        if self.cfg.dataset and self.cfg.dataset.get("test") and \
+                self.cfg.merge_cfg is not None:
+            from ..data.devkits.data_merge import data_merge_result
+            data_merge_result(save_file, self.work_dir, self.epoch,
+                              self.cfg.name or "run",
+                              dict(self.cfg.merge_cfg))
+        return results
+
+    def run_on_images(self, image_files, save_dir=None):
+        """Visualize detections on raw images (reference :182-191)."""
+        from ..utils.visualization import visualize_results
+        eval_step = self._get_eval_step()
+        outputs = []
+        for path in image_files:
+            from PIL import Image
+            img = Image.open(path).convert("RGB")
+            arr = np.asarray(img, np.float32)
+            images, targets = collate_batch([(arr, dict(scale_factor=1.0))])
+            out = eval_step(self._variables(), jnp.asarray(images),
+                            jax.tree_util.tree_map(jnp.asarray, targets))
+            dets = self.postprocess_dense(out, [dict()])[0]
+            outputs.append((path, dets))
+            if save_dir:
+                visualize_results([dets], None, [path], save_dir)
+        return outputs
+
+    def test_time(self, iters=100, warmup=10):
+        """FPS micro-benchmark (reference ``runner.py:105-129``)."""
+        assert self.test_dataset is not None or \
+            self.train_dataset is not None
+        ds = self.test_dataset or self.train_dataset
+        eval_step = self._get_eval_step()
+        images, targets, _ = next(iter(ds.batches()))
+        images = jnp.asarray(images)
+        targets = jax.tree_util.tree_map(jnp.asarray, targets)
+        for _ in range(warmup):
+            jax.block_until_ready(
+                eval_step(self._variables(), images, targets))
+        t0 = time.time()
+        for _ in range(iters):
+            out = eval_step(self._variables(), images, targets)
+        jax.block_until_ready(out)
+        fps = iters * images.shape[0] / (time.time() - t0)
+        self.logger.print_log({"FPS": fps})
+        return fps
+
+    # ------------------------------------------------------------------
+
+    def save(self):
+        path = build_file(self.work_dir,
+                          f"checkpoints/ckpt_{self.epoch}.pkl")
+        data = dict(
+            meta=dict(epoch=self.epoch, iter=self.iter,
+                      max_epoch=self.max_epoch,
+                      save_time=time.time(),
+                      config=self.cfg.dump()),
+            model=serialization.to_state_dict(
+                self._variables()) if self.state else None,
+            opt_state=serialization.to_state_dict(
+                self.state.opt_state) if self.state else None,
+        )
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+        self.logger.print_log({"msg": f"saved {path}"})
+        return path
+
+    def load(self, path, model_only=False):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        if isinstance(data, dict) and "model" in data:
+            variables = data["model"]
+            meta = data.get("meta", {})
+        else:
+            variables = data
+            meta = {}
+        self._pending_variables = variables
+        if not model_only and meta:
+            self.epoch = int(meta.get("epoch", 0))
+            self.iter = int(meta.get("iter", 0))
+        self.logger.print_log({"msg": f"loaded {path}"})
