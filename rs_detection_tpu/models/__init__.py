@@ -1,0 +1,12 @@
+"""Import all model modules so registry entries are populated."""
+from . import losses  # noqa: F401
+from .backbones import resnet, van  # noqa: F401
+from .boxes import (anchor_generator, anchor_target, assigner, coder,  # noqa: F401
+                    iou_calculator, sampler)
+from .necks import fpn  # noqa: F401
+from .roi_extractors import oriented_single_level  # noqa: F401
+from .roi_heads import (fcos_head, gliding_head, oriented_head,  # noqa: F401
+                        oriented_rpn_head, rbbox_head, retina_head,
+                        rpn_head, s2anet_head)
+from .networks import (gliding_vertex, r3det, rcnn, roi_transformer,  # noqa: F401
+                       single_stage)

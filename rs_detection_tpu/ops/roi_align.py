@@ -6,12 +6,18 @@ Capability parity with the reference CUDA kernels:
     (OBBDetection convention, the one used by ``OrientedHead``) and
     ``roi_align_rotated.py`` (legacy convention).
 
-TPU-first: features are NHWC, all rois are padded to a fixed count with
-a validity column; sampling is a fixed ``sampling_ratio**2`` grid per
-bin (the reference's adaptive ``ceil(roi/pool)`` mode is data-dependent
-and would force recompilation — configs of record use
-``sampling_ratio=2``, see ``configs/orcnn_van3_7_anchor_swa_1.py:87``).
-Bilinear gathers differentiate through XLA gather/scatter.
+TPU-first: features are NHWC; rois are padded to a fixed count with a
+validity column; sampling is a fixed ``sampling_ratio**2`` grid per bin
+(the reference's adaptive ``ceil(roi/pool)`` mode is data-dependent and
+would force recompilation — configs of record use ``sampling_ratio=2``,
+``configs/orcnn_van3_7_anchor_swa_1.py:87``).
+
+Memory-critical design point: the batch dimension is folded into the
+gather rows (features flattened to [N*H, W, C], sample row indices
+offset by ``batch_idx * H``) so XLA emits ONE gather of exactly the
+sampled points — never a per-roi copy of the feature map (a naive
+vmap-over-rois take would materialize [R, H, W, C]). Gradients flow
+through XLA's gather/scatter autodiff.
 """
 
 from __future__ import annotations
@@ -21,15 +27,53 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .sampling import bilinear_sample
+
+def _bin_centers(p: int, s: int):
+    """[p*s] normalized bin-sample positions in units of bin size."""
+    pp = jnp.arange(p, dtype=jnp.float32)
+    g = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    return (pp[:, None] + g[None, :]).reshape(-1)  # in bins
 
 
-def _bin_grid(pooled: int, ratio: int, start, bin_size):
-    """Sample coordinates for all bins: [pooled * ratio] along one axis."""
-    p = jnp.arange(pooled, dtype=jnp.float32)
-    g = (jnp.arange(ratio, dtype=jnp.float32) + 0.5) / ratio
-    # [pooled, ratio] -> flat
-    return (start + p[:, None] * bin_size + g[None, :] * bin_size).reshape(-1)
+def _batched_bilinear(features: jnp.ndarray, b_idx: jnp.ndarray,
+                      y: jnp.ndarray, x: jnp.ndarray):
+    """Bilinear sample [N, H, W, C] at per-roi points.
+
+    Args:
+      b_idx: [R] int32 batch index per roi.
+      y, x: [R, G, G] sample coordinates (feature scale).
+
+    Returns [R, G, G, C]. Border semantics match the reference CUDA
+    ``bilinear_interpolate`` (roi_align_rotated_v1.py:24-68).
+    """
+    n, h, w, c = features.shape
+    oob = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
+    y = jnp.maximum(y, 0.0)
+    x = jnp.maximum(x, 0.0)
+    y_low = y.astype(jnp.int32)
+    x_low = x.astype(jnp.int32)
+    yc = y_low >= h - 1
+    xc = x_low >= w - 1
+    y_low = jnp.where(yc, h - 1, y_low)
+    x_low = jnp.where(xc, w - 1, x_low)
+    y_high = jnp.where(yc, h - 1, y_low + 1)
+    x_high = jnp.where(xc, w - 1, x_low + 1)
+    y = jnp.where(yc, y_low.astype(y.dtype), y)
+    x = jnp.where(xc, x_low.astype(x.dtype), x)
+    ly = (y - y_low.astype(y.dtype))[..., None]
+    lx = (x - x_low.astype(x.dtype))[..., None]
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    flat = features.reshape(n * h, w, c)
+    row = (b_idx * h)[:, None, None]
+
+    def g(yi, xi):
+        return flat[row + yi, xi]          # [R, G, G, C] gather
+
+    out = (hy * hx * g(y_low, x_low) + hy * lx * g(y_low, x_high)
+           + ly * hx * g(y_high, x_low) + ly * lx * g(y_high, x_high))
+    return jnp.where(oob[..., None], 0.0, out)
 
 
 @functools.partial(jax.jit,
@@ -39,76 +83,59 @@ def roi_align_rotated(features, rois, output_size: int,
     """Rotated RoIAlign (v1 / OBBDetection convention).
 
     Args:
-      features: [N, H, W, C]
-      rois: [R, 6] = (batch_idx, cx, cy, w, h, theta) in image coords.
-      output_size: pooled size P.
-      spatial_scale: feature stride reciprocal.
-      sampling_ratio: samples per bin side (static; > 0 required).
+      features: [N, H, W, C]; rois: [R, 6] (batch_idx, cx, cy, w, h,
+      theta) in image coords.
 
-    Returns:
-      [R, P, P, C] pooled features.
-
-    Rotation math matches ``roi_align_rotated_v1.py:132-135``:
-    ``x = xx*cos + yy*sin + cx; y = yy*cos - xx*sin + cy``.
+    Returns [R, P, P, C]. Rotation matches
+    ``roi_align_rotated_v1.py:132-135``: ``x = xx*cos + yy*sin + cx;
+    y = yy*cos - xx*sin + cy`` with the 0.5-pixel center offset.
     """
     assert sampling_ratio > 0, "static sampling_ratio required on TPU"
-    p = output_size
-    s = sampling_ratio
-
-    def one_roi(roi):
-        b = roi[0].astype(jnp.int32)
-        cx = roi[1] * spatial_scale - 0.5
-        cy = roi[2] * spatial_scale - 0.5
-        rw = jnp.maximum(roi[3] * spatial_scale, 1.0)
-        rh = jnp.maximum(roi[4] * spatial_scale, 1.0)
-        theta = roi[5]
-        bin_w = rw / p
-        bin_h = rh / p
-        xx = _bin_grid(p, s, -rw / 2.0, bin_w)          # [P*s]
-        yy = _bin_grid(p, s, -rh / 2.0, bin_h)          # [P*s]
-        xxg = xx[None, :]                                # [1, P*s]
-        yyg = yy[:, None]                                # [P*s, 1]
-        ct, st = jnp.cos(theta), jnp.sin(theta)
-        x = xxg * ct + yyg * st + cx                     # [P*s, P*s]
-        y = yyg * ct - xxg * st + cy
-        feat = jnp.take(features, b, axis=0)             # [H, W, C]
-        vals = bilinear_sample(feat, y, x)               # [P*s, P*s, C]
-        vals = vals.reshape(p, s, p, s, -1)
-        return vals.mean(axis=(1, 3))                    # [P, P, C]
-
-    return jax.vmap(one_roi)(rois.astype(jnp.float32))
+    p, s = output_size, sampling_ratio
+    rois = rois.astype(jnp.float32)
+    b_idx = rois[:, 0].astype(jnp.int32)
+    cx = rois[:, 1] * spatial_scale - 0.5
+    cy = rois[:, 2] * spatial_scale - 0.5
+    rw = jnp.maximum(rois[:, 3] * spatial_scale, 1.0)
+    rh = jnp.maximum(rois[:, 4] * spatial_scale, 1.0)
+    theta = rois[:, 5]
+    grid = _bin_centers(p, s)                           # [P*s]
+    xx = (grid[None, :] / p - 0.5) * rw[:, None]        # [R, P*s]
+    yy = (grid[None, :] / p - 0.5) * rh[:, None]
+    ct = jnp.cos(theta)[:, None, None]
+    st = jnp.sin(theta)[:, None, None]
+    xg = xx[:, None, :]                                 # [R, 1, P*s]
+    yg = yy[:, :, None]                                 # [R, P*s, 1]
+    x = xg * ct + yg * st + cx[:, None, None]
+    y = yg * ct - xg * st + cy[:, None, None]
+    vals = _batched_bilinear(features, b_idx, y, x)     # [R, G, G, C]
+    vals = vals.reshape(vals.shape[0], p, s, p, s, -1)
+    return vals.mean(axis=(2, 4))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("output_size", "sampling_ratio"))
 def roi_align(features, rois, output_size: int, spatial_scale: float,
               sampling_ratio: int = 2):
-    """Horizontal RoIAlign (torchvision-style, non-legacy coords).
-
-    Args:
-      features: [N, H, W, C]; rois: [R, 5] = (batch_idx, x1, y1, x2, y2).
-
-    Parity: ``roi_align.py:95-140`` (aligned=False branch:
-    ``width = max(x2*s - x1*s, 1)``).
-    """
+    """Horizontal RoIAlign (torchvision-style, non-legacy coords);
+    rois [R, 5] = (batch_idx, x1, y1, x2, y2). Parity:
+    ``roi_align.py:95-140`` (``width = max(x2*s - x1*s, 1)``)."""
     assert sampling_ratio > 0
-    p = output_size
-    s = sampling_ratio
-
-    def one_roi(roi):
-        b = roi[0].astype(jnp.int32)
-        x1 = roi[1] * spatial_scale
-        y1 = roi[2] * spatial_scale
-        rw = jnp.maximum(roi[3] * spatial_scale - x1, 1.0)
-        rh = jnp.maximum(roi[4] * spatial_scale - y1, 1.0)
-        x = _bin_grid(p, s, x1, rw / p)
-        y = _bin_grid(p, s, y1, rh / p)
-        feat = jnp.take(features, b, axis=0)
-        vals = bilinear_sample(feat, y[:, None], x[None, :])
-        vals = vals.reshape(p, s, p, s, -1)
-        return vals.mean(axis=(1, 3))
-
-    return jax.vmap(one_roi)(rois.astype(jnp.float32))
+    p, s = output_size, sampling_ratio
+    rois = rois.astype(jnp.float32)
+    b_idx = rois[:, 0].astype(jnp.int32)
+    x1 = rois[:, 1] * spatial_scale
+    y1 = rois[:, 2] * spatial_scale
+    rw = jnp.maximum(rois[:, 3] * spatial_scale - x1, 1.0)
+    rh = jnp.maximum(rois[:, 4] * spatial_scale - y1, 1.0)
+    grid = _bin_centers(p, s) / p                        # [P*s] in [0,1)
+    x = x1[:, None, None] + (grid[None, None, :] * rw[:, None, None])
+    y = y1[:, None, None] + (grid[None, :, None] * rh[:, None, None])
+    x = jnp.broadcast_to(x, (rois.shape[0], p * s, p * s))
+    y = jnp.broadcast_to(y, (rois.shape[0], p * s, p * s))
+    vals = _batched_bilinear(features, b_idx, y, x)
+    vals = vals.reshape(vals.shape[0], p, s, p, s, -1)
+    return vals.mean(axis=(2, 4))
 
 
 class ROIAlign:
@@ -139,32 +166,28 @@ class ROIAlignRotated:
                                  self.spatial_scale, self.sampling_ratio)
 
 
-# The v1 suffix mirrors the reference's dual conventions; the math here
-# already follows v1 (the one on the Oriented R-CNN hot path).
 ROIAlignRotated_v1 = ROIAlignRotated
 
 
 @functools.partial(jax.jit, static_argnames=("output_size",))
 def roi_pool(features, rois, output_size: int, spatial_scale: float):
-    """Max RoIPool (reference ``roi_pool.py:141``), via dense max over a
-    fixed 4x supersampled grid per bin (static-shape approximation of
-    the exact integer-cell max; exact for bins >= 4 px)."""
-    p = output_size
-    s = 4
-
-    def one_roi(roi):
-        b = roi[0].astype(jnp.int32)
-        x1 = jnp.round(roi[1] * spatial_scale)
-        y1 = jnp.round(roi[2] * spatial_scale)
-        x2 = jnp.round(roi[3] * spatial_scale)
-        y2 = jnp.round(roi[4] * spatial_scale)
-        rw = jnp.maximum(x2 - x1 + 1, 1.0)
-        rh = jnp.maximum(y2 - y1 + 1, 1.0)
-        x = _bin_grid(p, s, x1, rw / p)
-        y = _bin_grid(p, s, y1, rh / p)
-        feat = jnp.take(features, b, axis=0)
-        vals = bilinear_sample(feat, y[:, None], x[None, :])
-        vals = vals.reshape(p, s, p, s, -1)
-        return vals.max(axis=(1, 3))
-
-    return jax.vmap(one_roi)(rois.astype(jnp.float32))
+    """Max RoIPool (reference ``roi_pool.py:141``), via a fixed 4x
+    supersampled max per bin (static-shape approximation of the exact
+    integer-cell max; exact for bins >= 4 px)."""
+    p, s = output_size, 4
+    rois = rois.astype(jnp.float32)
+    b_idx = rois[:, 0].astype(jnp.int32)
+    x1 = jnp.round(rois[:, 1] * spatial_scale)
+    y1 = jnp.round(rois[:, 2] * spatial_scale)
+    x2 = jnp.round(rois[:, 3] * spatial_scale)
+    y2 = jnp.round(rois[:, 4] * spatial_scale)
+    rw = jnp.maximum(x2 - x1 + 1, 1.0)
+    rh = jnp.maximum(y2 - y1 + 1, 1.0)
+    grid = _bin_centers(p, s) / p
+    x = x1[:, None, None] + grid[None, None, :] * rw[:, None, None]
+    y = y1[:, None, None] + grid[None, :, None] * rh[:, None, None]
+    x = jnp.broadcast_to(x, (rois.shape[0], p * s, p * s))
+    y = jnp.broadcast_to(y, (rois.shape[0], p * s, p * s))
+    vals = _batched_bilinear(features, b_idx, y, x)
+    vals = vals.reshape(vals.shape[0], p, s, p, s, -1)
+    return vals.max(axis=(2, 4))
