@@ -56,6 +56,7 @@ def mergesingle(dstpath: str, fullname: str,
     """Merge one class file: group tiles by original image, transform
     coordinates, per-image poly NMS, write merged txt."""
     name = os.path.splitext(os.path.basename(fullname))[0]
+    os.makedirs(dstpath, exist_ok=True)
     dstname = os.path.join(dstpath, name + ".txt")
     nameboxdict: Dict[str, List] = {}
     with open(fullname, "r") as f:

@@ -1,0 +1,167 @@
+"""End-to-end data pipeline test on synthetic data: tiler -> pkl
+converter -> dataset -> transforms -> collate -> merge -> mAP eval."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rs_detection_tpu.data.collate import collate_batch
+from rs_detection_tpu.data.devkits.convert_data_to_mmdet import \
+    convert_data_to_mmdet
+from rs_detection_tpu.data.devkits.img_split import process, splitbase
+from rs_detection_tpu.data.devkits.result_merge import (mergesingle,
+                                                        parse_tile_name)
+from rs_detection_tpu.data.devkits.voc_eval import voc_eval_dota
+from rs_detection_tpu.data.dota import DOTADataset
+from rs_detection_tpu.ops.box_ops import rotated_box_to_poly_np
+
+
+@pytest.fixture(scope="module")
+def synthetic_scene(tmp_path_factory):
+    """A 600x500 scene with 3 known boxes, DOTA labelTxt format."""
+    root = tmp_path_factory.mktemp("dota_src")
+    (root / "images").mkdir()
+    (root / "labelTxt").mkdir()
+    rng = np.random.RandomState(0)
+    img = (rng.rand(500, 600, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "images" / "P0001.png")
+    labels = [
+        # fully inside the first tile
+        ([50, 50, 120, 50, 120, 90, 50, 90], "plane", 0),
+        # spanning across tiles
+        ([280, 200, 420, 200, 420, 260, 280, 260], "ship", 0),
+        # difficult
+        ([400, 400, 450, 400, 450, 430, 400, 430], "harbor", 1),
+    ]
+    with open(root / "labelTxt" / "P0001.txt", "w") as f:
+        for poly, name, diff in labels:
+            f.write(" ".join(str(v) for v in poly) + f" {name} {diff}\n")
+    return str(root)
+
+
+class TestTiler:
+    def test_split_and_convert(self, synthetic_scene, tmp_path):
+        out = process(synthetic_scene, str(tmp_path / "tiles"),
+                      gap=100, subsize=320, rates=[1.0], num_process=1)
+        imgs = os.listdir(os.path.join(out, "images"))
+        txts = os.listdir(os.path.join(out, "labelTxt"))
+        assert len(imgs) >= 4 and len(imgs) == len(txts)
+        # tile naming parses back
+        name = os.path.splitext(imgs[0])[0]
+        orig, x, y, rate = parse_tile_name(name + "__x")
+        assert orig == "P0001"
+        # every tile is padded to subsize
+        im = Image.open(os.path.join(out, "images", imgs[0]))
+        assert im.size == (320, 320)
+
+        pkl_path = os.path.join(out, "labels.pkl")
+        convert_data_to_mmdet(out, pkl_path, type="DOTA",
+                              angle_version="le135")
+        with open(pkl_path, "rb") as f:
+            infos = pickle.load(f)
+        assert len(infos) >= 1
+        total_boxes = sum(len(i["ann"]["bboxes"]) for i in infos)
+        assert total_boxes >= 2  # the plane appears in >= 1 tile
+        for info in infos:
+            assert info["ann"]["bboxes"].shape[1] == 5
+
+    def test_clip_semantics(self, synthetic_scene, tmp_path):
+        # a box fully inside one tile keeps difficult=0 and exact size
+        sb = splitbase(synthetic_scene, str(tmp_path / "t2"),
+                       gap=100, subsize=320, num_process=1)
+        sb.splitdata(1.0)
+        txt = os.path.join(str(tmp_path / "t2"), "labelTxt",
+                           "P0001__1.0__0___0.txt")
+        with open(txt) as f:
+            lines = [l.split() for l in f.read().strip().split("\n")]
+        names = [l[8] for l in lines]
+        assert "plane" in names
+        plane = lines[names.index("plane")]
+        poly = np.asarray([float(v) for v in plane[:8]])
+        assert plane[9] == "0"
+        assert np.allclose(poly, [50, 50, 120, 50, 120, 90, 50, 90],
+                           atol=1.0)
+
+
+class TestDatasetAndEval:
+    def test_dataset_batches(self, synthetic_scene, tmp_path):
+        out = process(synthetic_scene, str(tmp_path / "tiles"),
+                      gap=100, subsize=320, rates=[1.0], num_process=1)
+        convert_data_to_mmdet(out, os.path.join(out, "labels.pkl"),
+                              type="DOTA", angle_version="le135")
+        ds = DOTADataset(
+            dataset_dir=out, batch_size=2, max_gt=16,
+            transforms=[
+                dict(type="RotatedResize", min_size=320, max_size=320),
+                dict(type="Normalize",
+                     mean=[123.675, 116.28, 103.53],
+                     std=[58.395, 57.12, 57.375], to_bgr=False),
+            ])
+        images, targets, metas = next(iter(ds.batches()))
+        assert images.shape[1:] == (320, 320, 3)
+        assert targets["rboxes"].shape[1:] == (16, 5)
+        assert targets["gt_mask"].any()
+        assert (targets["labels"][targets["gt_mask"]] > 0).all()
+
+    def test_eval_perfect_detections(self, synthetic_scene, tmp_path):
+        out = process(synthetic_scene, str(tmp_path / "tiles"),
+                      gap=100, subsize=320, rates=[1.0], num_process=1)
+        convert_data_to_mmdet(out, os.path.join(out, "labels.pkl"),
+                              type="DOTA", angle_version="le135")
+        ds = DOTADataset(dataset_dir=out, batch_size=1, max_gt=16,
+                         transforms=[])
+        # feed GT back as detections -> mAP 1.0 on present classes
+        results = []
+        for i in range(len(ds)):
+            _, tgt = ds[i]
+            polys = tgt["polys"]
+            scores = np.ones(len(polys))
+            results.append(((polys, scores, tgt["labels"]), tgt))
+        aps = ds.evaluate(results, None, 0, save=False)
+        assert aps["eval/0_meanAP"] > 0
+        # classes with GT get AP == 1
+        plane_ap = aps["eval/1_plane_AP"]
+        assert plane_ap > 0.99
+
+    def test_merge_roundtrip(self, tmp_path):
+        # detections on two tiles of one image merge into one
+        before = tmp_path / "before"
+        after = tmp_path / "after"
+        before.mkdir()
+        lines = [
+            # same physical box seen from two overlapping tiles
+            "P0001__1.0__0___0 0.9 100 100 150 100 150 130 100 130\n",
+            "P0001__1.0__50___0 0.8 50 100 100 100 100 130 50 130\n",
+            # distinct box
+            "P0001__1.0__0___0 0.7 10 10 30 10 30 20 10 20\n",
+        ]
+        with open(before / "plane.txt", "w") as f:
+            f.writelines(lines)
+        mergesingle(str(after), str(before / "plane.txt"))
+        with open(after / "plane.txt") as f:
+            merged = [l.split() for l in f.read().strip().split("\n")]
+        assert len(merged) == 2  # duplicates NMS'd
+        assert all(m[0] == "P0001" for m in merged)
+
+
+class TestVocEval:
+    def test_difficult_neither_tp_nor_fp(self):
+        gt_poly = np.array([0, 0, 10, 0, 10, 10, 0, 10], np.float64)
+        gts = {0: {"box": gt_poly[None], "det": [False],
+                   "difficult": np.array([True])}}
+        dets = np.array([[0, *gt_poly, 0.9]])
+        rec, prec, ap = voc_eval_dota(dets, gts)
+        assert ap == 0.0  # npos == 0
+
+    def test_simple_ap(self):
+        gt_poly = np.array([0, 0, 10, 0, 10, 10, 0, 10], np.float64)
+        far = gt_poly + 100
+        gts = {0: {"box": np.stack([gt_poly, far]),
+                   "det": [False, False],
+                   "difficult": np.array([False, False])}}
+        dets = np.array([[0, *gt_poly, 0.9], [0, *(gt_poly + 50), 0.8]])
+        rec, prec, ap = voc_eval_dota(dets, gts)
+        assert abs(ap - 0.5) < 1e-6
