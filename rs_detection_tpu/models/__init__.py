@@ -1,6 +1,6 @@
 """Import all model modules so registry entries are populated."""
 from . import losses  # noqa: F401
-from .backbones import resnet, van  # noqa: F401
+from .backbones import convnext, lsknet, res2net, resnet, van  # noqa: F401
 from .boxes import (anchor_generator, anchor_target, assigner, coder,  # noqa: F401
                     iou_calculator, sampler)
 from .necks import fpn  # noqa: F401

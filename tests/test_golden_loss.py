@@ -1,0 +1,104 @@
+"""Golden-loss regression harness.
+
+The reference's primary model-correctness mechanism
+(``projects/*/test_*.py`` + ``docs/add_model_tests.md``, SURVEY §4):
+fixed weights + fixed batches -> per-iteration losses after
+``optimizer.step`` must match a recorded fixture within a relative
+tolerance. JAX determinism makes this exact up to compiler numerics,
+so the tolerance here is tighter than the reference's 0.2.
+
+Run with ``--record`` semantics: if the fixture file is absent it is
+created (first run on a new machine records; CI then enforces).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIXTURE = os.path.join(os.path.dirname(__file__),
+                       "fixtures", "golden_losses_orcnn.json")
+REL_TOL = 0.05
+N_ITERS = 4
+
+
+def build():
+    from rs_detection_tpu.models.backbones.resnet import ResNet
+    from rs_detection_tpu.models.necks.fpn import FPN
+    from rs_detection_tpu.models.networks.rcnn import OrientedRCNN
+    from rs_detection_tpu.models.roi_heads.oriented_head import \
+        OrientedHead
+    from rs_detection_tpu.models.roi_heads.oriented_rpn_head import \
+        OrientedRPNHead
+    from rs_detection_tpu.optims.optimizer import SGD
+    from rs_detection_tpu.parallel.train_step import (create_train_state,
+                                                      make_train_step)
+
+    model = OrientedRCNN(
+        backbone=ResNet(depth=18, norm_eval=False),
+        neck=FPN(in_channels=(64, 128, 256, 512), out_channels=32,
+                 num_outs=5),
+        rpn=OrientedRPNHead(in_channels=32, feat_channels=32,
+                            nms_pre=64, nms_post=32, pre_nms_cap=128,
+                            sampler=dict(num=32, pos_fraction=0.5)),
+        bbox_head=OrientedHead(
+            num_classes=3, in_channels=32, fc_out_channels=64,
+            sampler=dict(num=16, pos_fraction=0.25),
+            bbox_roi_extractor=dict(
+                roi_layer=dict(output_size=7, sampling_ratio=2),
+                out_channels=32, extend_factor=(1.4, 1.2),
+                featmap_strides=[4, 8, 16, 32])))
+
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    rboxes = np.zeros((1, 8, 5), np.float32)
+    rboxes[0, 0] = [30, 30, 20, 10, 0.3]
+    rboxes[0, 1] = [45, 40, 12, 6, -0.5]
+    gt_mask = np.zeros((1, 8), bool)
+    gt_mask[0, :2] = True
+    labels = np.zeros((1, 8), np.int32)
+    labels[0, :2] = [1, 2]
+    targets = dict(
+        rboxes=jnp.asarray(rboxes), gt_mask=jnp.asarray(gt_mask),
+        labels=jnp.asarray(labels),
+        img_hw=jnp.asarray([[img, img]], jnp.float32),
+        scale_factor=jnp.ones((1,), jnp.float32))
+
+    variables = jax.jit(lambda i, t: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sampler": jax.random.PRNGKey(1)}, i, t))(images, targets)
+    # deterministic lr like the reference golden recipe (enlarged to
+    # amplify backward errors, docs/add_model_tests.md)
+    tx = SGD(lr=0.05, momentum=0.9, grad_clip=dict(max_norm=35))
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, mesh=None)
+    return step, state, images, targets
+
+
+@pytest.mark.slow
+def test_golden_losses():
+    step, state, images, targets = build()
+    rng = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(N_ITERS):
+        state, metrics = step(state, images, targets, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+
+    if not os.path.exists(FIXTURE):
+        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+        with open(FIXTURE, "w") as f:
+            json.dump({"losses": losses}, f, indent=2)
+        pytest.skip("fixture recorded; rerun to enforce")
+
+    with open(FIXTURE) as f:
+        golden = json.load(f)["losses"]
+    for i, (got, want) in enumerate(zip(losses, golden)):
+        rel = abs(got - want) / max(abs(want), 1e-6)
+        assert rel < REL_TOL, (i, got, want)
+    # training must actually reduce the loss over the recorded window
+    assert losses[-1] < losses[0] * 1.5

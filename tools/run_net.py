@@ -29,7 +29,7 @@ def main():
 
     from rs_detection_tpu.config import get_cfg, init_cfg, update_cfg
     import rs_detection_tpu.models  # noqa: F401  (populate registries)
-    import rs_detection_tpu.data.dota  # noqa: F401
+    import rs_detection_tpu.data  # noqa: F401
     from rs_detection_tpu.runner.runner import Runner
 
     init_cfg(args.config_file)
