@@ -300,3 +300,40 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
     out = jnp.where(oob[..., None], 0.0, out)
     out = out.reshape(out.shape[0], p, s, p, s, -1)
     return out.mean(axis=(2, 4))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("output_size", "sampling_ratio"))
+def psroi_align(features, rois, output_size: int, spatial_scale: float,
+                sampling_ratio: int = 2):
+    """Position-sensitive RoIAlign (reference ``psroi_align.py:265``).
+
+    Input channels must be ``output_size**2 * C_out``; bin (i, j) pools
+    from channel group ``i * P + j`` — realized as the standard aligned
+    sampling followed by a static gather over the channel groups.
+    """
+    p, s = output_size, sampling_ratio
+    r = rois.shape[0]
+    pooled = roi_align(features, rois, p, spatial_scale, s)
+    c_in = pooled.shape[-1]
+    c_out = c_in // (p * p)
+    pooled = pooled.reshape(r, p, p, p * p, c_out)
+    bin_idx = (jnp.arange(p)[:, None] * p
+               + jnp.arange(p)[None, :]).reshape(p, p)   # [P, P]
+    take = jnp.broadcast_to(bin_idx[None, :, :, None, None],
+                            (r, p, p, 1, c_out))
+    return jnp.take_along_axis(pooled, take, axis=3)[:, :, :, 0]
+
+
+class PSROIAlign:
+    """Module wrapper (reference ``psroi_align.py:277``)."""
+
+    def __init__(self, output_size, spatial_scale, sampling_ratio=2):
+        self.output_size = (output_size if isinstance(output_size, int)
+                            else output_size[0])
+        self.spatial_scale = spatial_scale
+        self.sampling_ratio = max(int(sampling_ratio), 1)
+
+    def __call__(self, features, rois):
+        return psroi_align(features, rois, self.output_size,
+                           self.spatial_scale, self.sampling_ratio)
