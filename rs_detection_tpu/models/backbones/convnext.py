@@ -38,7 +38,7 @@ class ConvNeXtBlock(nn.Module):
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),
                            (self.dim,))
-        x = gamma * x
+        x = gamma.astype(x.dtype) * x
         return shortcut + DropPath(self.drop_path)(
             x, deterministic=not train)
 

@@ -71,10 +71,12 @@ class LSKBlock(nn.Module):
                          nn.initializers.constant(1e-2), (self.dim,))
         h = Norm("bn", name="norm1")(x, train)
         h = LSKAttention(self.dim, name="attn")(h)
-        x = x + DropPath(self.drop_path)(ls1 * h, deterministic=not train)
+        x = x + DropPath(self.drop_path)(ls1.astype(h.dtype) * h,
+                                         deterministic=not train)
         h = Norm("bn", name="norm2")(x, train)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
-        x = x + DropPath(self.drop_path)(ls2 * h, deterministic=not train)
+        x = x + DropPath(self.drop_path)(ls2.astype(h.dtype) * h,
+                                         deterministic=not train)
         return x
 
 

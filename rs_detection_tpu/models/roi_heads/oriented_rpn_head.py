@@ -233,11 +233,9 @@ class OrientedRPNHead(nn.Module):
                 out_valid = jnp.pad(out_valid, (0, pad))
             return out_p, jnp.where(out_valid, out_s, 0.0), out_valid
 
-        cls_per_img = [[c[i] for c in cls_scores] for i in range(b)]
-        reg_per_img = [[r[i] for r in bbox_preds] for i in range(b)]
-        outs = [per_image((cls_per_img[i], reg_per_img[i], img_hw[i]))
-                for i in range(b)]
-        props = jnp.stack([o[0] for o in outs])
-        scores = jnp.stack([o[1] for o in outs])
-        valid = jnp.stack([o[2] for o in outs])
+        # vmap over the batch: every image's top-k/decode/NMS runs as
+        # one batched program instead of B serialized copies
+        props, scores, valid = jax.vmap(
+            lambda cl, rl, hw: per_image((list(cl), list(rl), hw)))(
+            tuple(cls_scores), tuple(bbox_preds), img_hw)
         return props, scores, valid
