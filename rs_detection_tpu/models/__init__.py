@@ -10,4 +10,4 @@ from .roi_heads import (fcos_head, gliding_head, oriented_head,  # noqa: F401
                         oriented_rpn_head, rbbox_head, retina_head,
                         rpn_head, s2anet_head, ssd_head)
 from .networks import (gliding_vertex, r3det, rcnn, roi_transformer,  # noqa: F401
-                       single_stage)
+                       single_stage, yolo)

@@ -1,0 +1,379 @@
+"""YOLOv5 (horizontal-box) detector.
+
+Capability parity with the reference YOLO path
+(``python/jdet/models/networks/yolo.py``, 606 LoC +
+``models/utils/yolo_modules.py``, 458 LoC): CSPDarknet backbone
+(Focus stem, C3 bottleneck CSP stages, SPP), PANet neck, anchor-based
+3-scale YOLO head; build-target assignment with the 4-neighbor grid
+trick and wh-ratio anchor filtering; CIoU box loss + BCE obj/cls with
+per-level balance weights; EMA is provided by the runner's SWA-style
+averaging.
+
+TPU-first: targets are computed densely over the [B, A, H, W] grid
+with masks (no dynamic index lists) and the whole loss is one fused
+program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...utils.registry import BACKBONES, HEADS, MODELS, NECKS
+from ..losses.common import optax_sigmoid_bce
+from ..utils.modules import kaiming_normal_fanout
+
+# default COCO anchors per level (stride 8/16/32), (w, h) pairs
+YOLO_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+
+def _conv(x, c, k=1, s=1, name=None):
+    y = nn.Conv(c, (k, k), (s, s), padding=(k - 1) // 2, use_bias=False,
+                kernel_init=kaiming_normal_fanout(), dtype=x.dtype,
+                name=None if name is None else name + "_conv")(x)
+    y = nn.BatchNorm(use_running_average=True, momentum=0.97,
+                     epsilon=1e-3, dtype=y.dtype,
+                     name=None if name is None else name + "_bn")(y)
+    return nn.silu(y)
+
+
+class Bottleneck(nn.Module):
+    c: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        y = _conv(x, self.c, 1, name="cv1")
+        y = _conv(y, self.c, 3, name="cv2")
+        return x + y if self.shortcut and x.shape[-1] == self.c else y
+
+
+class C3(nn.Module):
+    c: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = self.c // 2
+        y1 = _conv(x, c_, 1, name="cv1")
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, name=f"m{i}")(y1)
+        y2 = _conv(x, c_, 1, name="cv2")
+        return _conv(jnp.concatenate([y1, y2], -1), self.c, 1,
+                     name="cv3")
+
+
+class SPPF(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = x.shape[-1] // 2
+        y = _conv(x, c_, 1, name="cv1")
+        p1 = nn.max_pool(y, (5, 5), (1, 1), padding=[(2, 2), (2, 2)])
+        p2 = nn.max_pool(p1, (5, 5), (1, 1), padding=[(2, 2), (2, 2)])
+        p3 = nn.max_pool(p2, (5, 5), (1, 1), padding=[(2, 2), (2, 2)])
+        return _conv(jnp.concatenate([y, p1, p2, p3], -1), self.c, 1,
+                     name="cv2")
+
+
+@BACKBONES.register_module()
+class CSPDarknet(nn.Module):
+    depth_multiple: float = 0.33
+    width_multiple: float = 0.5
+
+    def _w(self, c):
+        return max(int(round(c * self.width_multiple / 8)) * 8, 8)
+
+    def _d(self, n):
+        return max(int(round(n * self.depth_multiple)), 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w, d = self._w, self._d
+        # Focus/6x6 stem (stride 2)
+        x = _conv(x, w(64), 6, 2, name="stem")
+        x = _conv(x, w(128), 3, 2, name="down1")
+        x = C3(w(128), d(3), name="c3_1")(x)
+        x = _conv(x, w(256), 3, 2, name="down2")
+        x = p3 = C3(w(256), d(6), name="c3_2")(x)
+        x = _conv(x, w(512), 3, 2, name="down3")
+        x = p4 = C3(w(512), d(9), name="c3_3")(x)
+        x = _conv(x, w(1024), 3, 2, name="down4")
+        x = C3(w(1024), d(3), name="c3_4")(x)
+        p5 = SPPF(w(1024), name="sppf")(x)
+        return p3, p4, p5
+
+
+@NECKS.register_module()
+class YOLOPAN(nn.Module):
+    depth_multiple: float = 0.33
+    width_multiple: float = 0.5
+
+    def _w(self, c):
+        return max(int(round(c * self.width_multiple / 8)) * 8, 8)
+
+    def _d(self, n):
+        return max(int(round(n * self.depth_multiple)), 1)
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        p3, p4, p5 = feats
+        w, d = self._w, self._d
+        x = _conv(p5, w(512), 1, name="lat5")
+        up = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+        f4 = C3(w(512), d(3), shortcut=False, name="td4")(
+            jnp.concatenate([up, p4], -1))
+        y = _conv(f4, w(256), 1, name="lat4")
+        up = jnp.repeat(jnp.repeat(y, 2, 1), 2, 2)
+        out3 = C3(w(256), d(3), shortcut=False, name="td3")(
+            jnp.concatenate([up, p3], -1))
+        z = _conv(out3, w(256), 3, 2, name="bu3")
+        out4 = C3(w(512), d(3), shortcut=False, name="bu4")(
+            jnp.concatenate([z, y], -1))
+        z = _conv(out4, w(512), 3, 2, name="bu5")
+        out5 = C3(w(1024), d(3), shortcut=False, name="bu6")(
+            jnp.concatenate([z, x], -1))
+        return out3, out4, out5
+
+
+@HEADS.register_module()
+class YOLOv5Head(nn.Module):
+    num_classes: int = 80
+    strides: Sequence[int] = (8, 16, 32)
+    anchors: Any = YOLO_ANCHORS
+    box_w: float = 0.05
+    obj_w: float = 1.0
+    cls_w: float = 0.5
+    anchor_t: float = 4.0
+    balance: Sequence[float] = (4.0, 1.0, 0.4)
+    conf_thr: float = 0.25
+    nms_iou: float = 0.45
+    max_det: int = 300
+
+    def setup(self):
+        self.na = len(self.anchors[0])
+        self.convs = [nn.Conv(self.na * (5 + self.num_classes), (1, 1),
+                              name=f"out{i}")
+                      for i in range(len(self.strides))]
+
+    def __call__(self, feats, train: bool = False):
+        return [c(f) for c, f in zip(self.convs, feats)]
+
+    def _decode_level(self, pred, lvl):
+        """[B, H, W, A*(5+C)] -> (xywh [B,H,W,A,4], obj, cls)."""
+        b, h, wd, _ = pred.shape
+        p = pred.reshape(b, h, wd, self.na, 5 + self.num_classes)
+        xy = (jax.nn.sigmoid(p[..., :2]) * 2 - 0.5)
+        gx = jnp.arange(wd, dtype=jnp.float32)[None, None, :, None]
+        gy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+        anc = jnp.asarray(self.anchors[lvl], jnp.float32)  # [A, 2]
+        cx = (xy[..., 0] + gx) * self.strides[lvl]
+        cy = (xy[..., 1] + gy) * self.strides[lvl]
+        wh = ((jax.nn.sigmoid(p[..., 2:4]) * 2) ** 2
+              * anc[None, None, None])
+        return (jnp.stack([cx, cy], -1), wh, p[..., 4],
+                p[..., 5:])
+
+    def loss(self, preds, targets):
+        """Dense YOLO target building: for each gt and each level,
+        positives are the anchors passing the wh-ratio test at the gt
+        cell and its 2 nearest neighbor cells."""
+        total_box = 0.0
+        total_obj = 0.0
+        total_cls = 0.0
+        gt_hbb = targets["hboxes"]                       # [B, G, 4]
+        gt_mask = targets["gt_mask"]
+        labels0 = jnp.maximum(targets["labels"] - 1, 0)
+        gcx = (gt_hbb[..., 0] + gt_hbb[..., 2]) / 2
+        gcy = (gt_hbb[..., 1] + gt_hbb[..., 3]) / 2
+        gw = gt_hbb[..., 2] - gt_hbb[..., 0]
+        gh = gt_hbb[..., 3] - gt_hbb[..., 1]
+        bsz, g = gcx.shape
+
+        for lvl, pred in enumerate(preds):
+            stride = self.strides[lvl]
+            b, h, wd, _ = pred.shape
+            p = pred.reshape(b, h, wd, self.na, 5 + self.num_classes)
+            anc = jnp.asarray(self.anchors[lvl], jnp.float32)
+
+            # wh-ratio anchor filter per gt [B, G, A]
+            r = jnp.stack([gw[..., None] / anc[None, None, :, 0],
+                           gh[..., None] / anc[None, None, :, 1]], -1)
+            ratio_ok = jnp.maximum(r, 1 / r).max(-1) < self.anchor_t
+            cell_x = gcx / stride
+            cell_y = gcy / stride
+
+            # dense obj target + per-cell matched-gt map via scatter
+            obj_t = jnp.zeros((b, h, wd, self.na))
+            box_loss = 0.0
+            cls_loss = 0.0
+            n_pos = 1e-7
+            offsets = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+            for ox, oy in offsets:
+                cx_i = jnp.floor(cell_x + ox * 0.5).astype(jnp.int32)
+                cy_i = jnp.floor(cell_y + oy * 0.5).astype(jnp.int32)
+                near = ((jnp.abs(cell_x % 1 - 0.5) < 0.5)
+                        if ox else jnp.ones_like(cell_x, bool))
+                if ox == 1:
+                    near = (cell_x % 1) < 0.5
+                elif ox == -1:
+                    near = (cell_x % 1) > 0.5
+                if oy == 1:
+                    near = (cell_y % 1) < 0.5
+                elif oy == -1:
+                    near = (cell_y % 1) > 0.5
+                if ox == 0 and oy == 0:
+                    near = jnp.ones_like(cell_x, bool)
+                ok = (gt_mask & near
+                      & (cx_i >= 0) & (cx_i < wd)
+                      & (cy_i >= 0) & (cy_i < h))         # [B, G]
+                sel = ok[..., None] & ratio_ok            # [B, G, A]
+                # gather predictions at gt cells: [B, G, A, 5+C]
+                bi = jnp.arange(b)[:, None]
+                pg = p[bi, jnp.clip(cy_i, 0, h - 1)[..., None]
+                       .repeat(self.na, -1),
+                       jnp.clip(cx_i, 0, wd - 1)[..., None]
+                       .repeat(self.na, -1),
+                       jnp.arange(self.na)[None, None]]
+                pxy = jax.nn.sigmoid(pg[..., :2]) * 2 - 0.5
+                pwh = (jax.nn.sigmoid(pg[..., 2:4]) * 2) ** 2 \
+                    * anc[None, None]
+                px = (pxy[..., 0] + cx_i[..., None]) * stride
+                py = (pxy[..., 1] + cy_i[..., None]) * stride
+                iou = _ciou(px, py, pwh[..., 0] * 1.0,
+                            pwh[..., 1] * 1.0,
+                            gcx[..., None], gcy[..., None],
+                            gw[..., None], gh[..., None])
+                box_loss += jnp.where(sel, 1.0 - iou, 0.0).sum()
+                onehot = jax.nn.one_hot(labels0, self.num_classes)
+                cls_bce = optax_sigmoid_bce(
+                    pg[..., 5:], onehot[:, :, None]).mean(-1)
+                cls_loss += jnp.where(sel, cls_bce, 0.0).sum()
+                n_pos += sel.sum()
+                obj_t = obj_t.at[
+                    bi[..., None].repeat(g, 1)[..., None]
+                    .repeat(self.na, -1),
+                    jnp.clip(cy_i, 0, h - 1)[..., None]
+                    .repeat(self.na, -1),
+                    jnp.clip(cx_i, 0, wd - 1)[..., None]
+                    .repeat(self.na, -1),
+                    jnp.arange(self.na)[None, None]].max(
+                    jnp.where(sel, jax.lax.stop_gradient(iou), 0.0))
+            obj_bce = optax_sigmoid_bce(p[..., 4], obj_t)
+            total_obj += obj_bce.mean() * self.balance[lvl]
+            total_box += box_loss / n_pos
+            total_cls += cls_loss / n_pos
+        return dict(box_loss=total_box * self.box_w * bsz,
+                    obj_loss=total_obj * self.obj_w * bsz,
+                    cls_loss=total_cls * self.cls_w * bsz)
+
+    def get_bboxes(self, preds, targets):
+        from ...ops.nms import _greedy_suppress, bbox_overlaps_hbb
+        outs = []
+        b = preds[0].shape[0]
+        for i in range(b):
+            boxes_all, scores_all, labels_all = [], [], []
+            for lvl, pred in enumerate(preds):
+                ctr, wh, obj, cls = self._decode_level(pred[i:i + 1],
+                                                       lvl)
+                conf = (jax.nn.sigmoid(obj)[..., None]
+                        * jax.nn.sigmoid(cls)).reshape(
+                    -1, self.num_classes)
+                box = jnp.concatenate(
+                    [ctr - wh / 2, ctr + wh / 2], -1).reshape(-1, 4)
+                k = min(1000, conf.shape[0])
+                top, idx = jax.lax.top_k(conf.max(-1), k)
+                boxes_all.append(box[idx])
+                scores_all.append(conf[idx])
+            boxes = jnp.concatenate(boxes_all)
+            scores = jnp.concatenate(scores_all)
+            best = scores.max(-1)
+            lab = scores.argmax(-1)
+            ok = best > self.conf_thr
+            order = jnp.argsort(-jnp.where(ok, best, -jnp.inf))
+            iou = bbox_overlaps_hbb(boxes[order], boxes[order])
+            same = lab[order][:, None] == lab[order][None, :]
+            keep_s = _greedy_suppress(jnp.where(same, iou, 0.0),
+                                      ok[order], self.nms_iou)
+            keep = jnp.zeros_like(ok).at[order].set(keep_s)
+            kept = jnp.where(keep, best, -jnp.inf)
+            out_s, sel = jax.lax.top_k(kept, min(self.max_det,
+                                                 kept.shape[0]))
+            valid = jnp.isfinite(out_s)
+            from ...ops.box_ops import hbb2poly
+            outs.append((hbb2poly(boxes[sel]),
+                         jnp.where(valid, out_s, 0.0),
+                         jnp.where(valid, lab[sel] + 1, -1), valid))
+        return dict(polys=jnp.stack([o[0] for o in outs]),
+                    scores=jnp.stack([o[1] for o in outs]),
+                    labels=jnp.stack([o[2] for o in outs]),
+                    valid=jnp.stack([o[3] for o in outs]))
+
+
+def _ciou(px, py, pw, ph, gx, gy, gw, gh, eps=1e-7):
+    """Complete IoU (reference ``box_ops.bbox_iou_per_box`` CIoU)."""
+    import math as _m
+
+    px1, px2 = px - pw / 2, px + pw / 2
+    py1, py2 = py - ph / 2, py + ph / 2
+    gx1, gx2 = gx - gw / 2, gx + gw / 2
+    gy1, gy2 = gy - gh / 2, gy + gh / 2
+    iw = jnp.clip(jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1), 0)
+    ih = jnp.clip(jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1), 0)
+    inter = iw * ih
+    union = pw * ph + gw * gh - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(px2, gx2) - jnp.minimum(px1, gx1)
+    ch = jnp.maximum(py2, gy2) - jnp.minimum(py1, gy1)
+    c2 = cw ** 2 + ch ** 2 + eps
+    rho2 = (gx - px) ** 2 + (gy - py) ** 2
+    v = (4 / _m.pi ** 2) * (jnp.arctan(gw / (gh + eps))
+                            - jnp.arctan(pw / (ph + eps))) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + 1 + eps))
+    return iou - rho2 / c2 - v * alpha
+
+
+@MODELS.register_module()
+class YOLO(nn.Module):
+    """YOLOv5 (reference ``networks/yolo.py``)."""
+
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+
+    def setup(self):
+        from ...utils.registry import build_from_cfg
+
+        self._backbone = (build_from_cfg(self.backbone, BACKBONES)
+                          if isinstance(self.backbone, dict)
+                          else (self.backbone or CSPDarknet()))
+        self._neck = (build_from_cfg(self.neck, NECKS)
+                      if isinstance(self.neck, dict)
+                      else (self.neck or YOLOPAN()))
+        self._head = (build_from_cfg(self.bbox_head, HEADS)
+                      if isinstance(self.bbox_head, dict)
+                      else (self.bbox_head or YOLOv5Head()))
+
+    def __call__(self, images, targets=None, train: bool = False):
+        return self.predict(images, targets)
+
+    def loss(self, images, targets):
+        feats = self._neck(self._backbone(images, train=True),
+                           train=True)
+        preds = self._head(feats, train=True)
+        return self._head.loss(preds, targets)
+
+    def predict(self, images, targets=None):
+        feats = self._neck(self._backbone(images), train=False)
+        preds = self._head(feats, train=False)
+        return self._head.get_bboxes(preds, targets or {})
