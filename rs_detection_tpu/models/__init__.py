@@ -7,7 +7,8 @@ from .boxes import (anchor_generator, anchor_target, assigner, coder,  # noqa: F
 from .necks import fpn, ssd_neck  # noqa: F401
 from .roi_extractors import oriented_single_level  # noqa: F401
 from .roi_heads import (fcos_head, gliding_head, oriented_head,  # noqa: F401
-                        oriented_rpn_head, rbbox_head, retina_head,
-                        rpn_head, s2anet_head, ssd_head)
+                        oriented_head_variants, oriented_rpn_head,
+                        rbbox_head, retina_head, rpn_head, s2anet_head,
+                        ssd_head)
 from .networks import (gliding_vertex, r3det, rcnn, roi_transformer,  # noqa: F401
                        single_stage, yolo)

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
-    batch_stats: Any
+    batch_stats: Any      # all non-param variable collections
     opt_state: Any
 
 
@@ -45,10 +45,11 @@ def shardings(mesh: Mesh, axis_name: str = "data"):
 
 def create_train_state(model, variables, tx) -> TrainState:
     params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=extra,
         opt_state=tx.init(params),
     )
 
@@ -69,17 +70,16 @@ def make_train_step(model, tx: optax.GradientTransformation,
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            variables = {"params": params, **state.batch_stats}
+            mutable = list(state.batch_stats.keys())
             out = model.apply(
                 variables, images, targets, method=model.loss,
                 rngs={"sampler": rng},
-                mutable=["batch_stats"] if state.batch_stats else [])
+                mutable=mutable if mutable else [])
             losses, mutated = out if isinstance(out, tuple) else (out, {})
+            new_extra = {**state.batch_stats, **dict(mutated)}
             total = sum(v for k, v in losses.items() if "loss" in k)
-            return total, (losses, mutated.get("batch_stats",
-                                               state.batch_stats))
+            return total, (losses, new_extra)
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
