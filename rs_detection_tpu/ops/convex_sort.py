@@ -27,6 +27,7 @@ def convex_sort(pts: jnp.ndarray, masks: jnp.ndarray,
       the masked centroid; invalid slots are -1.
     """
     masks = masks.astype(bool)
+    b, n = masks.shape
     cnt = jnp.maximum(masks.sum(-1, keepdims=True), 1)
     cen = (pts * masks[..., None]).sum(-2) / cnt
     rel = pts - cen[:, None, :]
@@ -36,6 +37,14 @@ def convex_sort(pts: jnp.ndarray, masks: jnp.ndarray,
     valid_sorted = jnp.take_along_axis(masks, order, axis=-1)
     order = jnp.where(valid_sorted, order, -1)
     if circular:
-        first = order[..., :1]
-        order = jnp.concatenate([order, first], axis=-1)
+        # the ring-closing duplicate of the first valid index must sit
+        # IMMEDIATELY after the last valid entry: downstream shoelace
+        # consumers replace -1 slots with a zero point whose cross
+        # terms vanish, so the closing edge has to be adjacent
+        order = jnp.concatenate(
+            [order, jnp.full((b, 1), -1, jnp.int32)], axis=-1)
+        k = masks.sum(-1).astype(jnp.int32)         # [B]
+        first = order[..., 0]
+        order = order.at[jnp.arange(b), k].set(
+            jnp.where(k > 0, first, -1))
     return order
