@@ -1,0 +1,15 @@
+"""Golden-loss regression entry for this project (reference
+``projects/oriented_rcnn/test_oriented_rcnn.py`` pattern): delegates to
+the shared harness in tests/test_golden_loss.py."""
+
+import os
+import subprocess
+import sys
+
+if __name__ == "__main__":
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "..")
+    sys.exit(subprocess.call(
+        [sys.executable, "-m", "pytest",
+         os.path.join(root, "tests", "test_golden_loss.py"), "-x", "-q"],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}))
