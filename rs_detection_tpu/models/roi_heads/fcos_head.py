@@ -23,6 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
+from ...ops.nms import fast_top_k
 from ...ops.nms_rotated import multiclass_nms_rotated_jit
 from ...utils.registry import HEADS
 from ..losses.common import (binary_cross_entropy, sigmoid_focal_loss)
@@ -255,7 +256,7 @@ class FCOSHead(nn.Module):
                      theta_preds[lvl][i].reshape(-1, 1)], -1)
                 pts = jnp.asarray(pts_np[lvl])
                 k = min(self.nms_pre, scores.shape[0])
-                _, top_i = jax.lax.top_k(
+                _, top_i = fast_top_k(
                     (scores * ctr[:, None]).max(1), k)
                 mlvl_boxes.append(B.distance2obb(pts[top_i],
                                                  reg[top_i]))

@@ -28,7 +28,8 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
-from ...ops.nms import _greedy_suppress, bbox_overlaps_hbb
+from ...ops.nms import (_greedy_suppress, bbox_overlaps_hbb,
+                         fast_top_k)
 from ...utils.registry import HEADS
 from ..boxes.anchor_generator import AnchorGenerator
 from ..boxes.anchor_target import anchor_inside_flags, anchor_target_single
@@ -188,7 +189,7 @@ class OrientedRPNHead(nn.Module):
                     -1, self.reg_dim).astype(jnp.float32)
                 anchors = mlvl_anchors[lvl]
                 k = min(self.nms_pre, scores.shape[0])
-                top_s, top_i = jax.lax.top_k(scores, k)
+                top_s, top_i = fast_top_k(scores, k)
                 cand_scores.append(top_s)
                 cand_deltas.append(deltas[top_i])
                 cand_anchors.append(anchors[top_i])

@@ -18,6 +18,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
+from ...ops.nms import fast_top_k
 from ...ops.nms_rotated import multiclass_nms_rotated_jit
 from ...utils.registry import HEADS
 from ..boxes.anchor_generator import AnchorGeneratorRotatedS2ANet
@@ -158,7 +159,7 @@ class RetinaHead(nn.Module):
                 deltas = bbox_preds[lvl][i].reshape(-1, 5)
                 anchors = mlvl_anchors[lvl]
                 k = min(self.nms_pre, scores.shape[0])
-                _, top_i = jax.lax.top_k(scores.max(1), k)
+                _, top_i = fast_top_k(scores.max(1), k)
                 mlvl_boxes.append(B.delta2bbox_rotated(
                     anchors[top_i], deltas[top_i], self.target_means,
                     self.target_stds))

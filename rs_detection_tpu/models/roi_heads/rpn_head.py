@@ -22,7 +22,8 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
-from ...ops.nms import _greedy_suppress, bbox_overlaps_hbb
+from ...ops.nms import (_greedy_suppress, bbox_overlaps_hbb,
+                         fast_top_k)
 from ...utils.registry import HEADS
 from ..boxes.anchor_generator import AnchorGenerator
 from ..boxes.anchor_target import anchor_target_single
@@ -131,7 +132,7 @@ class RPNHead(nn.Module):
                 deltas = reg_list[lvl].reshape(-1, 4)
                 anchors = mlvl_anchors[lvl]
                 k = min(self.nms_pre, scores.shape[0])
-                top_s, top_i = jax.lax.top_k(scores, k)
+                top_s, top_i = fast_top_k(scores, k)
                 cand_s.append(top_s)
                 cand_d.append(deltas[top_i])
                 cand_a.append(anchors[top_i])

@@ -28,6 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
+from ...ops.nms import fast_top_k
 from ...ops.deform_conv import deform_conv2d
 from ...ops.nms_rotated import multiclass_nms_rotated_jit
 from ...ops.orn import (active_rotating_filter, arf_gather_indices,
@@ -322,7 +323,7 @@ class S2ANetHead(nn.Module):
                 deltas = reg.reshape(-1, 5)
                 anchors = anchors.reshape(-1, 5)
                 k = min(self.nms_pre, scores.shape[0])
-                top_s, top_i = jax.lax.top_k(scores.max(1), k)
+                top_s, top_i = fast_top_k(scores.max(1), k)
                 mlvl_boxes.append(B.delta2bbox_rotated(
                     anchors[top_i], deltas[top_i], self.target_means,
                     self.target_stds))

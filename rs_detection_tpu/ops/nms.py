@@ -125,3 +125,14 @@ def multiclass_nms(mlvl_bboxes, mlvl_scores, score_thr, nms_cfg, max_num=-1):
     if max_num > 0:
         order = order[:max_num]
     return dets[order], labels[order]
+
+
+def fast_top_k(scores: jnp.ndarray, k: int):
+    """Top-k tuned for TPU: ``lax.approx_max_k`` (no full sort) for
+    large candidate sets, exact ``lax.top_k`` for small ones. Used for
+    pre-NMS candidate selection where approximate recall@k is
+    indistinguishable (candidates are re-ranked by NMS anyway)."""
+    n = scores.shape[-1]
+    if n > 16384:
+        return jax.lax.approx_max_k(scores, k)
+    return jax.lax.top_k(scores, k)
