@@ -240,8 +240,25 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
     p, s = output_size, sampling_ratio
     num_levels = len(strides)
     rois = rois.astype(jnp.float32)
-    b_idx = rois[:, 0].astype(jnp.int32)
 
+    # HBM-locality sort: gathers achieve far higher bandwidth when
+    # consecutive rois touch nearby rows, so process rois ordered by
+    # their flat pyramid address (batch, level, y, x) and unsort the
+    # pooled output at the end
+    scale0 = jnp.sqrt(jnp.maximum(rois[:, 3] * rois[:, 4], 1e-6))
+    lvl0 = jnp.clip(jnp.floor(jnp.log2(scale0 / finest_scale + 1e-6)),
+                    0, num_levels - 1).astype(jnp.int32)
+    stride0 = jnp.asarray(strides, jnp.float32)[lvl0]
+    h0 = jnp.asarray([f.shape[1] for f in feats], jnp.float32)[lvl0]
+    w0 = jnp.asarray([f.shape[2] for f in feats], jnp.float32)[lvl0]
+    addr = (rois[:, 0] * num_levels + lvl0.astype(jnp.float32)) \
+        * (h0 * w0) + (rois[:, 2] / stride0) * w0 + rois[:, 1] / stride0
+    order = jnp.argsort(addr)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0]))
+    rois = rois[order]
+
+    b_idx = rois[:, 0].astype(jnp.int32)
     # per-roi level by sqrt-area (reference map_roi_levels)
     scale = jnp.sqrt(jnp.maximum(rois[:, 3] * rois[:, 4], 1e-6))
     lvl = jnp.clip(jnp.floor(jnp.log2(scale / finest_scale + 1e-6)),
@@ -299,7 +316,7 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
            + ly * hx * g(y_high, x_low) + ly * lx * g(y_high, x_high))
     out = jnp.where(oob[..., None], 0.0, out)
     out = out.reshape(out.shape[0], p, s, p, s, -1)
-    return out.mean(axis=(2, 4))
+    return out.mean(axis=(2, 4))[inv]
 
 
 @functools.partial(jax.jit,
