@@ -241,3 +241,34 @@ class TestFeatureRefine:
                                         points=5))
         # 1 (orig) + 5 sampled ones
         assert np.allclose(out, 6.0, atol=1e-4)
+
+
+class TestPyramidRoiAlign:
+    def test_matches_per_level(self):
+        from rs_detection_tpu.ops.roi_align import (
+            roi_align_rotated, roi_align_rotated_pyramid)
+
+        rng2 = np.random.RandomState(9)
+        strides = (4, 8, 16, 32)
+        feats = [jnp.asarray(rng2.rand(2, 64 // (s // 4), 64 // (s // 4),
+                                       8).astype(np.float32))
+                 for s in strides]
+        # rois spanning all levels (sqrt areas around 56*2^l)
+        rois = []
+        for lvl, s in enumerate(strides):
+            size = 56.0 * (2 ** lvl) * 1.01
+            rois.append([lvl % 2, 100 + lvl * 10, 120, size, size, 0.3])
+            rois.append([(lvl + 1) % 2, 90, 80 + lvl * 7,
+                         size * 1.2, size * 0.8, -0.5])
+        rois = jnp.asarray(np.asarray(rois, np.float32))
+        got = np.asarray(roi_align_rotated_pyramid(
+            feats, rois, 7, strides=strides, sampling_ratio=2))
+
+        lvls = np.clip(np.floor(np.log2(
+            np.sqrt(np.asarray(rois)[:, 3] * np.asarray(rois)[:, 4])
+            / 56.0 + 1e-6)), 0, 3).astype(int)
+        for i in range(rois.shape[0]):
+            lvl = lvls[i]
+            want = np.asarray(roi_align_rotated(
+                feats[lvl], rois[i:i + 1], 7, 1.0 / strides[lvl], 2))
+            assert np.allclose(got[i], want[0], atol=2e-4), i
