@@ -292,37 +292,28 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
         | (x < -1.0) | (x > w_r.astype(x.dtype))
     y = jnp.maximum(y, 0.0)
     x = jnp.maximum(x, 0.0)
-    y_low = jnp.minimum(y.astype(jnp.int32), h_r - 1)
+    y_low = y.astype(jnp.int32)
     x_low = x.astype(jnp.int32)
-    # border semantics (reference bilinear_interpolate): at the last
-    # row/col the sample collapses onto it with full weight
-    y = jnp.where(y_low >= h_r - 1, y_low.astype(y.dtype), y)
-    x = jnp.where(x_low >= w_r - 1, (w_r - 1).astype(x.dtype), x)
-    y_high = jnp.minimum(y_low + 1, h_r - 1)
-    # x pairs are contiguous in the flat row-major layout, so gather
-    # (2, C) strips: HALF the gather slices of the 4-corner version
-    # (the gather is slice-issue-bound on TPU, not bandwidth-bound).
-    # Strip starts clamp to w-2 so both columns stay in this row; the
-    # x weight is computed relative to the clamped start, keeping
-    # border math exact.
-    start_x = jnp.clip(x_low, 0, jnp.maximum(w_r - 2, 0))
-    base = (b_idx * total)[:, None, None] + off_tab[lvl][:, None, None]
-    c = flat.shape[-1]
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(3, 4), collapsed_slice_dims=(),
-        start_index_map=(0,))
-    def strip(yi):
-        starts = (base + yi * w_r + start_x)[..., None]   # [R,G,G,1]
-        out = jax.lax.gather(flat, starts, dimension_numbers=dn,
-                             slice_sizes=(2, c), mode="clip")
-        return out                                        # [R,G,G,2,C]
-    top = strip(y_low)
-    bot = strip(y_high)
-    dx = (x - start_x.astype(x.dtype))[..., None]
-    dy = (y - y_low.astype(y.dtype))[..., None]
-    top_v = (1 - dx) * top[..., 0, :] + dx * top[..., 1, :]
-    bot_v = (1 - dx) * bot[..., 0, :] + dx * bot[..., 1, :]
-    out = (1 - dy) * top_v + dy * bot_v
+    yc = y_low >= h_r - 1
+    xc = x_low >= w_r - 1
+    y_low = jnp.where(yc, h_r - 1, y_low)
+    x_low = jnp.where(xc, w_r - 1, x_low)
+    y_high = jnp.where(yc, h_r - 1, y_low + 1)
+    x_high = jnp.where(xc, w_r - 1, x_low + 1)
+    y = jnp.where(yc, y_low.astype(y.dtype), y)
+    x = jnp.where(xc, x_low.astype(x.dtype), x)
+    ly = (y - y_low.astype(y.dtype))[..., None]
+    lx = (x - x_low.astype(x.dtype))[..., None]
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    base = (b_idx * total + off_tab[lvl])[:, None, None]  # [R,1,1]
+
+    def g(yi, xi):
+        return flat[base + yi * w_r + xi]                # [R, G, G, C]
+
+    out = (hy * hx * g(y_low, x_low) + hy * lx * g(y_low, x_high)
+           + ly * hx * g(y_high, x_low) + ly * lx * g(y_high, x_high))
     out = jnp.where(oob[..., None], 0.0, out)
     out = out.reshape(out.shape[0], p, s, p, s, -1)
     return out.mean(axis=(2, 4))[inv]
