@@ -1,0 +1,151 @@
+"""DP mesh training tests on the virtual 8-device CPU mesh, plus
+optimizer/scheduler unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestMesh:
+    def test_mesh_creation(self):
+        from rs_detection_tpu.parallel.train_step import create_mesh
+
+        mesh = create_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        mesh4 = create_mesh(4)
+        assert mesh4.devices.size == 4
+
+    def test_dp_training_step_runs_and_matches_single(self):
+        """One DP step over 8 devices == the same step on 1 device."""
+        from flax import linen as nn
+        import optax
+
+        from rs_detection_tpu.parallel.train_step import (
+            TrainState, create_mesh, create_train_state,
+            make_train_step)
+
+        class Toy(nn.Module):
+            def setup(self):
+                self.dense = nn.Dense(4)
+
+            def __call__(self, images, targets=None, train=False):
+                return self.dense(images)
+
+            def loss(self, images, targets):
+                out = self.dense(images)
+                return {"loss": ((out - targets["y"]) ** 2).mean()}
+
+            def predict(self, images, targets=None):
+                return self.dense(images)
+
+        model = Toy()
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(8, 16).astype(np.float32))
+        targets = {"y": jnp.asarray(rng.rand(8, 4).astype(np.float32))}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, images, targets)
+        tx = optax.sgd(0.1)
+
+        mesh = create_mesh(8)
+        step_dp = make_train_step(model, tx, mesh=mesh, donate=False)
+        state = create_train_state(model, variables, tx)
+        with mesh:
+            s_dp, m_dp = step_dp(state, images, targets,
+                                 jax.random.PRNGKey(1))
+
+        step_1 = make_train_step(model, tx, mesh=None, donate=False)
+        state1 = create_train_state(model, variables, tx)
+        s_1, m_1 = step_1(state1, images, targets, jax.random.PRNGKey(1))
+
+        assert abs(float(m_dp["total_loss"])
+                   - float(m_1["total_loss"])) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(s_dp.params),
+                        jax.tree_util.tree_leaves(s_1.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestOptims:
+    def test_sgd_with_schedule(self):
+        import optax
+
+        from rs_detection_tpu.optims.optimizer import SGD
+
+        lrs = []
+
+        def sched(step):
+            lr = 0.1 * (0.1 ** (step // 10))
+            return lr
+
+        tx = SGD(lr=sched, momentum=0.0, weight_decay=0.0)
+        params = {"w": jnp.ones((3,))}
+        state = tx.init(params)
+        grads = {"w": jnp.ones((3,))}
+        updates, state = tx.update(grads, state, params)
+        # first step lr = 0.1
+        assert np.allclose(np.asarray(updates["w"]), -0.1, atol=1e-6)
+
+    def test_grad_clip(self):
+        from rs_detection_tpu.optims.optimizer import SGD
+
+        tx = SGD(lr=1.0, momentum=0.0, weight_decay=0.0,
+                 grad_clip=dict(max_norm=1.0))
+        params = {"w": jnp.zeros((4,))}
+        state = tx.init(params)
+        grads = {"w": jnp.full((4,), 100.0)}
+        updates, _ = tx.update(grads, state, params)
+        norm = float(jnp.linalg.norm(updates["w"]))
+        assert abs(norm - 1.0) < 1e-4
+
+    def test_schedulers(self):
+        from rs_detection_tpu.optims.lr_scheduler import (
+            CosineAnnealingLR, StepLR)
+
+        s = StepLR(milestones=[8, 11], warmup="linear",
+                   warmup_iters=10, warmup_ratio=0.5)
+        # warmup at step 0: factor 0.5
+        assert abs(float(s(1.0, 0, 0)) - 0.5) < 1e-5
+        # after warmup, before milestones
+        assert abs(float(s(1.0, 100, 5)) - 1.0) < 1e-6
+        # after first milestone
+        assert abs(float(s(1.0, 100, 9)) - 0.1) < 1e-6
+        # after both
+        assert abs(float(s(1.0, 100, 11.5)) - 0.01) < 1e-6
+
+        c = CosineAnnealingLR(max_steps=10, min_lr_ratio=0.1)
+        assert abs(float(c(1.0, 100, 0)) - 1.0) < 1e-6
+        assert float(c(1.0, 100, 10)) - 0.1 < 1e-4
+
+    def test_grad_multiplier(self):
+        from rs_detection_tpu.optims.optimizer import GradMutilpySGD
+
+        tx = GradMutilpySGD(lr=1.0, momentum=0.0, weight_decay=0.0,
+                            multipliers={"backbone": 0.1})
+        params = {"backbone": {"w": jnp.zeros(2)},
+                  "head": {"w": jnp.zeros(2)}}
+        state = tx.init(params)
+        grads = {"backbone": {"w": jnp.ones(2)},
+                 "head": {"w": jnp.ones(2)}}
+        updates, _ = tx.update(grads, state, params)
+        assert np.allclose(np.asarray(updates["backbone"]["w"]), -0.1)
+        assert np.allclose(np.asarray(updates["head"]["w"]), -1.0)
+
+
+class TestSWA:
+    def test_average_checkpoints(self, tmp_path):
+        import pickle
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from get_swa_model import average_checkpoints
+
+        p1 = tmp_path / "a.pkl"
+        p2 = tmp_path / "b.pkl"
+        with open(p1, "wb") as f:
+            pickle.dump({"model": {"w": np.ones(3)},
+                         "meta": {"epoch": 8}}, f)
+        with open(p2, "wb") as f:
+            pickle.dump({"model": {"w": np.full(3, 3.0)},
+                         "meta": {"epoch": 9}}, f)
+        out = average_checkpoints([str(p1), str(p2)])
+        assert np.allclose(out["model"]["w"], 2.0)
