@@ -14,6 +14,7 @@ static-shape; batched targets are dense padded arrays (see
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from typing import Any, Dict
 
 import jax
@@ -28,9 +29,17 @@ from ..roi_heads.oriented_rpn_head import OrientedRPNHead
 def _build(cfg, registry, default_cls):
     if cfg is None:
         return default_cls()
-    if isinstance(cfg, dict):
-        return build_from_cfg(cfg, registry)
+    if isinstance(cfg, Mapping):
+        return build_from_cfg(_unfreeze(cfg), registry)
     return cfg
+
+
+def _unfreeze(node):
+    if isinstance(node, Mapping):
+        return {k: _unfreeze(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return [_unfreeze(v) for v in node]
+    return node
 
 
 @MODELS.register_module()

@@ -18,12 +18,7 @@ from ...utils.registry import BACKBONES, HEADS, MODELS, NECKS, \
     build_from_cfg
 
 
-def _build(cfg, registry, default_fn):
-    if cfg is None:
-        return default_fn()
-    if isinstance(cfg, dict):
-        return build_from_cfg(cfg, registry)
-    return cfg
+from .rcnn import _build  # noqa: F401  (shared Mapping-aware builder)
 
 
 @MODELS.register_module()

@@ -354,15 +354,11 @@ class YOLO(nn.Module):
     def setup(self):
         from ...utils.registry import build_from_cfg
 
-        self._backbone = (build_from_cfg(self.backbone, BACKBONES)
-                          if isinstance(self.backbone, dict)
-                          else (self.backbone or CSPDarknet()))
-        self._neck = (build_from_cfg(self.neck, NECKS)
-                      if isinstance(self.neck, dict)
-                      else (self.neck or YOLOPAN()))
-        self._head = (build_from_cfg(self.bbox_head, HEADS)
-                      if isinstance(self.bbox_head, dict)
-                      else (self.bbox_head or YOLOv5Head()))
+        from .rcnn import _build
+
+        self._backbone = _build(self.backbone, BACKBONES, CSPDarknet)
+        self._neck = _build(self.neck, NECKS, YOLOPAN)
+        self._head = _build(self.bbox_head, HEADS, YOLOv5Head)
 
     def __call__(self, images, targets=None, train: bool = False):
         return self.predict(images, targets)

@@ -78,7 +78,17 @@ class Runner:
         self.test_dataset = build_from_cfg(
             cfg.dataset and cfg.dataset.get("test"), DATASETS)
 
-        self.mesh = mesh if mesh is not None else create_mesh()
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            # the data mesh must divide the global batch
+            n_dev = len(jax.devices())
+            bs = (self.train_dataset.batch_size
+                  if self.train_dataset is not None else n_dev)
+            n = n_dev
+            while n > 1 and bs % n != 0:
+                n -= 1
+            self.mesh = create_mesh(n)
         self.epoch = 0
         self.iter = 0
         self.state: Optional[TrainState] = None
@@ -179,6 +189,7 @@ class Runner:
         rng = jax.random.PRNGKey(self.cfg.seed or 0)
         t_start = time.time()
         n_imgs = 0
+        profile_at = self.cfg.profile_step  # e.g. 20 -> trace steps 20..22
         with self.mesh:
             for images, targets, _ in self.train_dataset.prefetch(
                     seed=self.epoch):
@@ -186,8 +197,17 @@ class Runner:
                     self._init_state(images, targets)
                 images = jnp.asarray(images)
                 targets = jax.tree_util.tree_map(jnp.asarray, targets)
+                if profile_at is not None and self.iter == profile_at:
+                    jax.profiler.start_trace(
+                        os.path.join(self.work_dir, "profile"))
                 self.state, metrics = self._train_step(
                     self.state, images, targets, rng)
+                if profile_at is not None and self.iter == profile_at + 2:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    self.logger.print_log(
+                        {"msg": f"profiler trace -> "
+                                f"{self.work_dir}/profile"})
                 self.iter += 1
                 n_imgs += images.shape[0]
                 if check_interval(self.iter - 1, self.log_interval):
@@ -213,10 +233,9 @@ class Runner:
         return self._eval_step
 
     def _variables(self):
-        v = {"params": self.state.params}
-        if self.state.batch_stats:
-            v["batch_stats"] = self.state.batch_stats
-        return v
+        # state.batch_stats holds ALL non-param collections keyed by
+        # collection name (batch_stats, loss_state, ...)
+        return {"params": self.state.params, **self.state.batch_stats}
 
     @staticmethod
     def postprocess_dense(out: Dict, metas, score_thresh=0.05):
@@ -322,6 +341,8 @@ class Runner:
     # ------------------------------------------------------------------
 
     def save(self):
+        if self.cfg.use_orbax:
+            return self._save_orbax()
         path = build_file(self.work_dir,
                           f"checkpoints/ckpt_{self.epoch}.pkl")
         data = dict(
@@ -337,6 +358,22 @@ class Runner:
         with open(path, "wb") as f:
             pickle.dump(data, f)
         self.logger.print_log({"msg": f"saved {path}"})
+        return path
+
+    def _save_orbax(self):
+        """Orbax checkpointing (async-capable, TPU-native) as an
+        alternative to the pickle format."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self.work_dir, "checkpoints_orbax",
+                            f"ckpt_{self.epoch}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path),
+                   dict(model=serialization.to_state_dict(
+                       self._variables())),
+                   force=True)
+        ckptr.wait_until_finished()
+        self.logger.print_log({"msg": f"saved (orbax) {path}"})
         return path
 
     def load(self, path, model_only=False):
