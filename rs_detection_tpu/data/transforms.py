@@ -316,3 +316,152 @@ class RandmGrayScale:
         if random.random() < self.prob:
             image = image.convert("L").convert("RGB")
         return image, target
+
+
+@TRANSFORMS.register_module()
+class MinIoURandomCrop:
+    """Random crop keeping min IoU with gt hboxes
+    (reference ``transforms.py:483``)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 min_crop_size=0.3, max_tries=50):
+        self.min_ious = (1,) + tuple(min_ious) + (0,)
+        self.min_crop_size = min_crop_size
+        self.max_tries = max_tries
+
+    def __call__(self, image, target=None):
+        if target is None or target.get("hboxes") is None \
+                or len(target["hboxes"]) == 0:
+            return image, target
+        w, h = image.size
+        boxes = target["hboxes"]
+        min_iou = random.choice(self.min_ious)
+        if min_iou == 1:
+            return image, target
+        for _ in range(self.max_tries):
+            cw = random.uniform(self.min_crop_size * w, w)
+            ch = random.uniform(self.min_crop_size * h, h)
+            if cw / ch < 0.5 or cw / ch > 2:
+                continue
+            left = random.uniform(0, w - cw)
+            top = random.uniform(0, h - ch)
+            patch = np.array([left, top, left + cw, top + ch])
+            # IoU of patch with each box
+            ix1 = np.maximum(boxes[:, 0], patch[0])
+            iy1 = np.maximum(boxes[:, 1], patch[1])
+            ix2 = np.minimum(boxes[:, 2], patch[2])
+            iy2 = np.minimum(boxes[:, 3], patch[3])
+            inter = (np.clip(ix2 - ix1, 0, None)
+                     * np.clip(iy2 - iy1, 0, None))
+            area_b = ((boxes[:, 2] - boxes[:, 0])
+                      * (boxes[:, 3] - boxes[:, 1]))
+            iou = inter / np.maximum(area_b, 1e-6)
+            if iou.min() < min_iou:
+                continue
+            ctr = (boxes[:, :2] + boxes[:, 2:4]) / 2
+            keep = ((ctr[:, 0] > patch[0]) & (ctr[:, 0] < patch[2])
+                    & (ctr[:, 1] > patch[1]) & (ctr[:, 1] < patch[3]))
+            if not keep.any():
+                continue
+            image = image.crop(tuple(int(v) for v in patch))
+            for key in _BOX_KEYS + ["labels"]:
+                b = target.get(key)
+                if b is None or len(b) == 0:
+                    continue
+                b = b[keep] if len(b) == len(keep) else b
+                if key == "labels":
+                    target[key] = b
+                    continue
+                b = b.copy().astype(np.float32)
+                if "hboxes" in key or key == "bboxes":
+                    b[:, 0::2] -= patch[0]
+                    b[:, 1::2] -= patch[1]
+                elif "polys" in key:
+                    b[:, 0::2] -= patch[0]
+                    b[:, 1::2] -= patch[1]
+                elif "rboxes" in key:
+                    b[:, 0] -= patch[0]
+                    b[:, 1] -= patch[1]
+                target[key] = b
+            target["img_size"] = image.size
+            return image, target
+        return image, target
+
+
+@TRANSFORMS.register_module()
+class Expand:
+    """Random canvas expansion (reference ``transforms.py:556``)."""
+
+    def __init__(self, mean=(123.675, 116.28, 103.53), ratio_range=(1, 4),
+                 prob=0.5):
+        self.mean = tuple(int(m) for m in mean)
+        self.ratio_range = ratio_range
+        self.prob = prob
+
+    def __call__(self, image, target=None):
+        if random.random() > self.prob:
+            return image, target
+        w, h = image.size
+        ratio = random.uniform(*self.ratio_range)
+        nw, nh = int(w * ratio), int(h * ratio)
+        left = random.randint(0, nw - w)
+        top = random.randint(0, nh - h)
+        canvas = Image.new(image.mode, (nw, nh), self.mean)
+        canvas.paste(image, (left, top))
+        if target is not None:
+            for key in _BOX_KEYS + ["bboxes"]:
+                b = target.get(key)
+                if b is None or len(b) == 0:
+                    continue
+                b = b.copy().astype(np.float32)
+                if "rboxes" in key:
+                    b[:, 0] += left
+                    b[:, 1] += top
+                else:
+                    b[:, 0::2] += left
+                    b[:, 1::2] += top
+                target[key] = b
+            target["img_size"] = canvas.size
+        return canvas, target
+
+
+@TRANSFORMS.register_module()
+class PhotoMetricDistortion:
+    """Brightness / contrast / saturation / hue jitter
+    (reference ``transforms.py:583``)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, image, target=None):
+        arr = np.asarray(image, np.float32)
+        if random.random() < 0.5:
+            arr += random.uniform(-self.brightness_delta,
+                                  self.brightness_delta)
+        if random.random() < 0.5:
+            arr *= random.uniform(*self.contrast_range)
+        # saturation/hue in HSV
+        import cv2
+
+        hsv = cv2.cvtColor(np.clip(arr, 0, 255).astype(np.uint8),
+                           cv2.COLOR_RGB2HSV).astype(np.float32)
+        if random.random() < 0.5:
+            hsv[..., 1] *= random.uniform(*self.saturation_range)
+        if random.random() < 0.5:
+            hsv[..., 0] = (hsv[..., 0] + random.uniform(
+                -self.hue_delta, self.hue_delta)) % 180
+        arr = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2RGB)
+        return Image.fromarray(arr), target
+
+
+@TRANSFORMS.register_module()
+class Resize_keep_ratio(Resize):
+    """Alias with keep_ratio forced (reference ``transforms.py:593``)."""
+
+    def __init__(self, min_size, max_size, **kw):
+        super().__init__(min_size, max_size, keep_ratio=True)

@@ -211,3 +211,10 @@ class COCODataset(YoloDataset):
         self.flip = kw.get("flip", False)
         self.max_gt = kw.get("max_gt", 512)
         self.total_len = len(self.img_infos)
+
+
+@DATASETS.register_module()
+class LVISDataset(COCODataset):
+    """LVIS v1 dataset (reference ``lvis.py``) — the annotation format
+    is COCO-compatible; long-tail class frequencies feed the seesaw /
+    EQLv2 losses."""
