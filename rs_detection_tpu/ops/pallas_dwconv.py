@@ -70,6 +70,18 @@ def depthwise_conv2d(x, w, k: int = 5, dilation: int = 1):
 
 def _dw_forward(x, w, k, dilation):
     n, h, width, c = x.shape
+    # Mosaic requires the lane (channel) dim of DMA'd slices to align
+    # to 128 — pad channels and strip after
+    cpad = (-c) % 128
+    if cpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cpad)))
+    out = _dw_forward_aligned(x, w, k, dilation)
+    return out[..., :c] if cpad else out
+
+
+def _dw_forward_aligned(x, w, k, dilation):
+    n, h, width, c = x.shape
     p = dilation * (k - 1) // 2
     bh = min(16, h)
     hpad = (-h) % bh

@@ -272,3 +272,42 @@ class TestPyramidRoiAlign:
             want = np.asarray(roi_align_rotated(
                 feats[lvl], rois[i:i + 1], 7, 1.0 / strides[lvl], 2))
             assert np.allclose(got[i], want[0], atol=2e-4), i
+
+
+class TestPallasDwConv:
+    def test_matches_xla(self):
+        from rs_detection_tpu.ops.pallas_dwconv import depthwise_conv2d
+
+        rng2 = np.random.RandomState(1)
+        for k, d, c in ((5, 1, 16), (7, 3, 16), (3, 1, 8)):
+            x = jnp.asarray(rng2.rand(2, 24, 20, c).astype(np.float32))
+            w = jnp.asarray(rng2.rand(k, k, c).astype(np.float32))
+            got = np.asarray(depthwise_conv2d(x, w, k, d))
+            pad = d * (k - 1) // 2
+            ref = np.asarray(jax.lax.conv_general_dilated(
+                x, w.reshape(k, k, 1, c), (1, 1),
+                [(pad, pad), (pad, pad)], rhs_dilation=(d, d),
+                feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            assert np.allclose(got, ref, atol=1e-4), (k, d)
+
+    def test_grads_match_xla(self):
+        from rs_detection_tpu.ops.pallas_dwconv import depthwise_conv2d
+
+        rng2 = np.random.RandomState(2)
+        c = 8
+        x = jnp.asarray(rng2.rand(1, 16, 16, c).astype(np.float32))
+        w = jnp.asarray(rng2.rand(5, 5, c).astype(np.float32))
+        g = jax.grad(lambda a, b: depthwise_conv2d(a, b, 5, 1).sum(),
+                     argnums=(0, 1))(x, w)
+        gref = jax.grad(
+            lambda a, b: jax.lax.conv_general_dilated(
+                a, b.reshape(5, 5, 1, c), (1, 1), [(2, 2), (2, 2)],
+                feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")).sum(),
+            argnums=(0, 1))(x, w)
+        assert np.allclose(np.asarray(g[0]), np.asarray(gref[0]),
+                           atol=1e-4)
+        assert np.allclose(np.asarray(g[1]),
+                           np.asarray(gref[1]).reshape(5, 5, c),
+                           atol=1e-4)
