@@ -212,7 +212,6 @@ class R3Det(SingleStageDetector):
         r_cls, r_reg = self._refine_head(rfeats)
         # decode refinement against refined anchors via the retina path
         head = self._bbox_head
-        import types
         # reuse RetinaHead.get_bboxes on refined predictions by
         # substituting anchors with the refined boxes
         b = images.shape[0]
@@ -248,7 +247,6 @@ class R3Det(SingleStageDetector):
                 max_num=head.max_per_img)
             polys = B.rotated_box_to_poly(dets[:, :5], best_begin=False)
             results.append((polys, dets[:, 5], labels, valid))
-        _ = types
         return dict(
             polys=jnp.stack([r[0] for r in results]),
             scores=jnp.stack([r[1] for r in results]),

@@ -20,7 +20,7 @@ matrix in VMEM-friendly range with negligible recall impact).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +32,11 @@ from ...ops.nms import (_greedy_suppress, bbox_overlaps_hbb,
                          fast_top_k)
 from ...utils.registry import HEADS
 from ..boxes.anchor_generator import AnchorGenerator
-from ..boxes.anchor_target import anchor_inside_flags, anchor_target_single
+from ..boxes.anchor_target import anchor_target_single
 from ..boxes.assigner import MaxIoUAssigner
 from ..boxes.coder import MidpointOffsetCoder
 from ..boxes.sampler import RandomSampler
 from ..losses.common import binary_cross_entropy, smooth_l1_loss
-from ..utils.modules import kaiming_normal_fanout
 
 
 @HEADS.register_module()

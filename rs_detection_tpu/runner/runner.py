@@ -28,8 +28,6 @@ from flax import serialization
 
 from ..config import get_cfg, save_cfg
 from ..data.collate import collate_batch
-from ..optims import lr_scheduler as lrs
-from ..optims import optimizer as opt_factory
 from ..parallel.train_step import (TrainState, create_mesh,
                                    create_train_state, make_eval_step,
                                    make_train_step)
@@ -37,7 +35,6 @@ from ..utils.general import build_file, check_interval, search_ckpt
 from ..utils.logger import RunLogger
 from ..utils.registry import (DATASETS, MODELS, OPTIMS, SCHEDULERS,
                               build_from_cfg)
-from ..ops.box_ops import obb2poly, poly_to_rotated_box_np
 
 
 def _build_scheduler(cfg, steps_per_epoch):
