@@ -1,0 +1,172 @@
+"""Tests for converters, ensemble merging, checkpoint conversion,
+visualization, and the YOLO dataset."""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+class TestEnsemble:
+    def test_hbb_nms(self):
+        from merge_results import hbb_nms_numpy
+
+        boxes = np.array([
+            [0, 0, 10, 10, 0.9],
+            [1, 1, 11, 11, 0.8],
+            [50, 50, 60, 60, 0.7],
+        ])
+        keep = hbb_nms_numpy(boxes, 0.5)
+        assert keep.tolist() == [0, 2]
+
+    def test_csv_roundtrip(self, tmp_path):
+        from merge_results import (merge_csv_with_class,
+                                   read_csv_to_numpy, save_to_csv)
+
+        csv1 = tmp_path / "a.csv"
+        rows = [
+            "1.tif,Ship,0.9,10,10,30,10,30,20,10,20\n",
+            "1.tif,Ship,0.8,11,11,31,11,31,21,11,21\n",
+            "1.tif,Airplane,0.7,50,50,70,50,70,60,50,60\n",
+        ]
+        csv1.write_text("".join(rows))
+        csv2 = tmp_path / "b.csv"
+        csv2.write_text(rows[0])
+        d1 = read_csv_to_numpy(str(csv1))
+        d2 = read_csv_to_numpy(str(csv2))
+        assert d1.shape == (3, 11)
+        merged = merge_csv_with_class([d1, d2], 0.625)
+        # the two overlapping ships collapse; airplane survives
+        assert merged.shape[0] == 2
+        out = tmp_path / "merged.csv"
+        save_to_csv(merged, str(out))
+        assert len(out.read_text().strip().split("\n")) == 2
+
+    def test_soft_nms(self):
+        from merge_results import soft_nms_numpy
+
+        boxes = np.array([[0, 0, 10, 10, 0.9], [0, 0, 10, 10, 0.85],
+                          [50, 50, 60, 60, 0.7]])
+        keep = soft_nms_numpy(boxes.copy(), thresh=0.5)
+        assert 0 in keep and 2 in keep
+
+
+class TestCheckpointConvert:
+    def test_torch_layout_conversion(self):
+        from rs_detection_tpu.utils.checkpoint_convert import (
+            compare_trees, torch_state_to_flax)
+
+        state = {
+            "backbone.conv1.weight": np.zeros((64, 3, 7, 7)),
+            "backbone.bn1.weight": np.ones((64,)),
+            "backbone.bn1.bias": np.zeros((64,)),
+            "backbone.bn1.running_mean": np.zeros((64,)),
+            "backbone.bn1.running_var": np.ones((64,)),
+            "backbone.bn1.num_batches_tracked": np.array(100),
+            "head.fc.weight": np.zeros((10, 256)),
+            "head.fc.bias": np.zeros((10,)),
+        }
+        params, bs = torch_state_to_flax(state)
+        assert params["backbone"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+        assert params["backbone"]["bn1"]["scale"].shape == (64,)
+        assert params["head"]["fc"]["kernel"].shape == (256, 10)
+        assert bs["backbone"]["bn1"]["mean"].shape == (64,)
+        assert "num_batches_tracked" not in str(params)
+
+        # diff tooling
+        rep = compare_trees(params, params)
+        assert rep == {}
+        other = {"backbone": params["backbone"]}
+        rep = compare_trees(params, other)
+        assert any("head" in k for k in rep)
+
+
+class TestFairConverters:
+    def test_fair_xml_roundtrip(self, tmp_path):
+        from rs_detection_tpu.data.devkits.dota_to_fair import (
+            dota_to_fair, dota_to_fair1m_1_5)
+        from rs_detection_tpu.data.devkits.fair_to_dota import solve_xml
+
+        dets = tmp_path / "after_nms"
+        dets.mkdir()
+        (dets / "Ship.txt").write_text(
+            "P0001 0.95 10 10 30 10 30 20 10 20\n")
+        out_xml = tmp_path / "fair/test"
+        dota_to_fair(str(dets), str(out_xml), "")
+        files = os.listdir(out_xml)
+        assert files == ["1.xml"]
+        # parse it back
+        back_txt = tmp_path / "back.txt"
+        solve_xml(str(out_xml / "1.xml"), str(back_txt))
+        line = back_txt.read_text().strip().split(" ")
+        assert line[8] == "Ship"
+        assert [float(v) for v in line[:8]] == [10, 10, 30, 10, 30, 20,
+                                                10, 20]
+
+        csv = dota_to_fair1m_1_5(str(dets), str(tmp_path / "csvdir"),
+                                 "", "sub")
+        content = open(csv).read()
+        assert content.startswith("1.tif,Ship,0.95")
+
+
+class TestYoloDataset:
+    def test_mosaic_batches(self, tmp_path):
+        import rs_detection_tpu.data as D
+
+        (tmp_path / "images").mkdir()
+        rng = np.random.RandomState(0)
+        infos = []
+        for i in range(4):
+            name = f"im_{i}.png"
+            Image.fromarray((rng.rand(96, 96, 3) * 255).astype(
+                np.uint8)).save(tmp_path / "images" / name)
+            infos.append(dict(
+                filename=name, width=96, height=96,
+                ann=dict(hboxes=np.array([[10, 10, 50, 40]], np.float32),
+                         labels=np.array([1], np.int64))))
+        with open(tmp_path / "labels.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        ds = D.YoloDataset(dataset_dir=str(tmp_path), img_size=64,
+                           batch_size=2, max_gt=16)
+        images, targets, metas = next(iter(ds.batches(seed=0)))
+        assert images.shape == (2, 64, 64, 3)
+        assert images.max() <= 1.0
+        assert targets["hboxes"].shape == (2, 16, 4)
+
+
+class TestVisualization:
+    def test_draw(self, tmp_path):
+        from rs_detection_tpu.utils.visualization import draw_bboxes
+
+        img = Image.new("RGB", (64, 64), (0, 0, 0))
+        polys = np.array([[10, 10, 30, 10, 30, 20, 10, 20]])
+        out = draw_bboxes(img, polys, np.array([0.9]), np.array([1]),
+                          ["plane"])
+        arr = np.asarray(out)
+        assert arr.sum() > 0  # something was drawn
+
+
+class TestOfflineEval:
+    def test_csv_vs_xml(self, tmp_path):
+        from val import evaluate
+
+        xml_dir = tmp_path / "xml"
+        xml_dir.mkdir()
+        xml = """<?xml version="1.0"?><annotation><objects>
+        <object><possibleresult><name>Ship</name></possibleresult>
+        <points><point>10,10</point><point>30,10</point>
+        <point>30,20</point><point>10,20</point>
+        <point>10,10</point></points></object>
+        </objects></annotation>"""
+        (xml_dir / "1.xml").write_text(xml)
+        csv = tmp_path / "sub.csv"
+        csv.write_text("1.tif,Ship,0.9,10,10,30,10,30,20,10,20\n")
+        aps = evaluate(str(csv), str(xml_dir))
+        assert aps["Ship"] > 0.99
+        assert "meanAP" in aps
