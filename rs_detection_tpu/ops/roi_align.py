@@ -309,11 +309,26 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
 
     base = (b_idx * total + off_tab[lvl])[:, None, None]  # [R,1,1]
 
-    def g(yi, xi):
-        return flat[base + yi * w_r + xi]                # [R, G, G, C]
+    # TPU gathers are issue-bound (~100M rows/s regardless of row size
+    # or locality), so halve the row count: pack the pyramid into
+    # fused rows of 2 adjacent cells (packed[r] = concat(flat[r],
+    # flat[r+1])); both x-corners of a bilinear sample then come from
+    # ONE gather row, so 2 gathers (y_low / y_high) replace 4 — at the
+    # cost of 2x pyramid memory (hundreds of MB, cheap next to HBM).
+    c = flat.shape[-1]
+    packed = jnp.concatenate(
+        [flat, jnp.roll(flat, -1, axis=0)], axis=1)    # [NR, 2C]
 
-    out = (hy * hx * g(y_low, x_low) + hy * lx * g(y_low, x_high)
-           + ly * hx * g(y_high, x_low) + ly * lx * g(y_high, x_high))
+    def fused(yi):
+        f = base + yi * w_r + x_low                    # [R, G, G]
+        rows = packed[f]                               # [R, G, G, 2C]
+        return rows[..., :c], rows[..., c:]
+
+    t0, t1 = fused(y_low)
+    b0, b1 = fused(y_high)
+    # x_high == x_low at the right border, where lx == 0 by the clamp
+    # above — the (unused) x_low+1 cell then carries weight 0
+    out = (hy * (hx * t0 + lx * t1) + ly * (hx * b0 + lx * b1))
     out = jnp.where(oob[..., None], 0.0, out)
     out = out.reshape(out.shape[0], p, s, p, s, -1)
     return out.mean(axis=(2, 4))[inv]
