@@ -100,3 +100,19 @@ class TestFPN:
         params = fpn.init(jax.random.PRNGKey(0), ins)
         outs = fpn.apply(params, ins)
         assert np.abs(np.asarray(outs[0])).sum() > 0
+
+
+class TestSK2Res2Net:
+    def test_shapes_and_sk_gate(self, x64):
+        from rs_detection_tpu.models.backbones.sk2res2net import SK2Res2Net
+
+        m = SK2Res2Net(depth=50)
+        vars_ = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x))(x64)
+        outs = m.apply(vars_, x64)
+        assert [o.shape for o in outs] == [
+            (1, 16, 16, 256), (1, 8, 8, 512),
+            (1, 4, 4, 1024), (1, 2, 2, 2048)]
+        # SK gate alpha parameters exist in every block
+        flat = jax.tree_util.tree_leaves_with_path(vars_["params"])
+        alphas = [p for p, _ in flat if "alpha" in str(p)]
+        assert len(alphas) == 3 + 4 + 6 + 3

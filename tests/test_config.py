@@ -140,3 +140,25 @@ def test_dump_roundtrip(cfg_dir, tmp_path):
     assert d["model"]["type"] == "S2ANet"
     assert d["model"]["list"] == [1, 2, 3]
     assert type(d["model"]) is dict
+
+
+def test_all_shipped_configs_build_models():
+    """Every config in configs/ and projects/*/configs must construct
+    its model via the registry (reference test strategy: per-project
+    config regression)."""
+    import glob
+    import os
+
+    from rs_detection_tpu.utils.registry import MODELS, build_from_cfg
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    cfgs = (glob.glob(os.path.join(root, "configs", "*.py"))
+            + glob.glob(os.path.join(root, "projects", "*", "configs",
+                                     "*.py")))
+    cfgs = [c for c in cfgs if "preprocess" not in c]
+    assert len(cfgs) >= 10
+    for path in cfgs:
+        cfg = Config(path)
+        assert cfg.model is not None, path
+        model = build_from_cfg(cfg.model, MODELS)
+        assert model is not None, path

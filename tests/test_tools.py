@@ -170,3 +170,28 @@ class TestOfflineEval:
         aps = evaluate(str(csv), str(xml_dir))
         assert aps["Ship"] > 0.99
         assert "meanAP" in aps
+
+
+class TestSSDDConverter:
+    def test_plus_and_plain(self, tmp_path):
+        from rs_detection_tpu.data.devkits.ssdd_to_dota import ssdd_to_dota
+
+        imgs = tmp_path / "imgs"
+        annos = tmp_path / "annos"
+        imgs.mkdir(); annos.mkdir()
+        Image.new("RGB", (100, 50)).save(imgs / "s1.jpg")
+        annos.joinpath("s1.xml").write_text("""<annotation><object>
+          <name>ship</name><difficult>0</difficult>
+          <rotated_bndbox><x1>10</x1><y1>10</y1><x2>30</x2><y2>10</y2>
+          <x3>30</x3><y3>20</y3><x4>10</x4><y4>20</y4></rotated_bndbox>
+          <bndbox><xmin>10</xmin><ymin>10</ymin><xmax>30</xmax>
+          <ymax>20</ymax></bndbox>
+        </object></annotation>""")
+        out = tmp_path / "dota"
+        ssdd_to_dota(str(imgs), str(annos), str(out), resize=200,
+                     plus=True)
+        assert (out / "images" / "s1.png").exists()
+        line = (out / "labelTxt" / "s1.txt").read_text().split()
+        # x scaled by 200/100=2, y by 200/50=4
+        assert line[:4] == ["20.0", "40.0", "60.0", "40.0"]
+        assert line[8] == "ship"

@@ -59,10 +59,15 @@ def run(cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-file", required=True)
+    ap.add_argument("--set", dest="overrides", nargs="*", default=[],
+                    help="key=value config overrides")
     args = ap.parse_args()
     from rs_detection_tpu.config import init_cfg
 
     cfg = init_cfg(args.config_file)
+    for kv in args.overrides:
+        k, v = kv.split("=", 1)
+        cfg[k] = v
     run(cfg)
 
 
