@@ -57,18 +57,26 @@ def main():
         {"params": jax.random.PRNGKey(0),
          "sampler": jax.random.PRNGKey(1)}, i, t))(images, targets)
 
-    # scalar-reducing forward: host fetch of the result is the barrier
-    fwd = jax.jit(lambda v, i, t: jnp.sum(
-        model.apply(v, i, t, method=model.predict)["scores"]))
+    # scalar-reducing forward: host fetch of the result is the barrier.
+    # Each call carries a data dependency on the previous result (dep *
+    # 0.0 — not algebraically foldable under IEEE NaN semantics), so a
+    # whole run of iterations is dispatched async and fetched ONCE:
+    # back-to-back device throughput, with the ~26 ms tunnel RTT
+    # amortized over the run instead of serialized into every batch.
+    fwd = jax.jit(lambda v, i, t, d: jnp.sum(
+        model.apply(v, i + d * 0.0, t,
+                    method=model.predict)["scores"]))
+    dep = jnp.float32(0.0)
     for _ in range(args.warmup):
-        float(fwd(variables, images, targets))
+        dep = fwd(variables, images, targets, dep)
+    float(dep)
 
-    times = []
+    t0 = time.perf_counter()
+    dep = jnp.float32(0.0)
     for _ in range(args.iters):
-        t0 = time.perf_counter()
-        float(fwd(variables, images, targets))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        dep = fwd(variables, images, targets, dep)
+    float(dep)
+    dt = (time.perf_counter() - t0) / args.iters
 
     tiles_per_sec = batch / dt
     target = 400.0  # BASELINE.json north star (tiles/sec/chip)

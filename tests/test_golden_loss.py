@@ -19,13 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-FIXTURE = os.path.join(os.path.dirname(__file__),
-                       "fixtures", "golden_losses_orcnn.json")
 REL_TOL = 0.05
 N_ITERS = 4
 
 
-def build():
+def build_orcnn():
     from rs_detection_tpu.models.backbones.resnet import ResNet
     from rs_detection_tpu.models.necks.fpn import FPN
     from rs_detection_tpu.models.networks.rcnn import OrientedRCNN
@@ -79,9 +77,83 @@ def build():
     return step, state, images, targets
 
 
+def _tiny_targets(img=64):
+    rboxes = np.zeros((1, 8, 5), np.float32)
+    rboxes[0, 0] = [30, 30, 20, 10, 0.3]
+    rboxes[0, 1] = [45, 40, 12, 6, -0.5]
+    gt_mask = np.zeros((1, 8), bool)
+    gt_mask[0, :2] = True
+    labels = np.zeros((1, 8), np.int32)
+    labels[0, :2] = [1, 2]
+    return dict(
+        rboxes=jnp.asarray(rboxes), gt_mask=jnp.asarray(gt_mask),
+        labels=jnp.asarray(labels),
+        img_hw=jnp.asarray([[img, img]], jnp.float32),
+        scale_factor=jnp.ones((1,), jnp.float32))
+
+
+def _finish(model, images, targets):
+    from rs_detection_tpu.optims.optimizer import SGD
+    from rs_detection_tpu.parallel.train_step import (create_train_state,
+                                                      make_train_step)
+
+    variables = jax.jit(lambda i, t: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sampler": jax.random.PRNGKey(1)}, i, t))(images, targets)
+    tx = SGD(lr=0.01, momentum=0.9, grad_clip=dict(max_norm=35))
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, mesh=None)
+    return step, state, images, targets
+
+
+def build_s2anet():
+    from rs_detection_tpu.models.backbones.resnet import ResNet
+    from rs_detection_tpu.models.necks.fpn import FPN
+    from rs_detection_tpu.models.networks.single_stage import S2ANet
+    from rs_detection_tpu.models.roi_heads.s2anet_head import S2ANetHead
+
+    model = S2ANet(
+        backbone=ResNet(depth=18, norm_eval=False),
+        neck=FPN(in_channels=(64, 128, 256, 512), out_channels=32,
+                 num_outs=5, add_extra_convs="on_input"),
+        bbox_head=S2ANetHead(
+            num_classes=3, in_channels=32, feat_channels=32,
+            anchor_strides=(4, 8, 16, 32, 64),
+            nms_pre=32, max_per_img=16))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _tiny_targets(img))
+
+
+def build_retinanet():
+    from rs_detection_tpu.models.backbones.resnet import ResNet
+    from rs_detection_tpu.models.necks.fpn import FPN
+    from rs_detection_tpu.models.networks.single_stage import RetinaNet
+    from rs_detection_tpu.models.roi_heads.retina_head import RetinaHead
+
+    model = RetinaNet(
+        backbone=ResNet(depth=18, norm_eval=False),
+        neck=FPN(in_channels=(64, 128, 256, 512), out_channels=32,
+                 num_outs=5, add_extra_convs="on_input"),
+        bbox_head=RetinaHead(num_classes=3, in_channels=32,
+                             feat_channels=32))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _tiny_targets(img))
+
+
+_BUILDERS = {"orcnn": build_orcnn, "s2anet": build_s2anet,
+             "retinanet": build_retinanet}
+
+
 @pytest.mark.slow
-def test_golden_losses():
-    step, state, images, targets = build()
+@pytest.mark.parametrize("name", sorted(_BUILDERS))
+def test_golden_losses(name):
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           f"golden_losses_{name}.json")
+    step, state, images, targets = _BUILDERS[name]()
     rng = jax.random.PRNGKey(3)
     losses = []
     for _ in range(N_ITERS):
@@ -89,13 +161,13 @@ def test_golden_losses():
         losses.append(float(metrics["total_loss"]))
     assert all(np.isfinite(l) for l in losses)
 
-    if not os.path.exists(FIXTURE):
-        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
-        with open(FIXTURE, "w") as f:
+    if not os.path.exists(fixture):
+        os.makedirs(os.path.dirname(fixture), exist_ok=True)
+        with open(fixture, "w") as f:
             json.dump({"losses": losses}, f, indent=2)
         pytest.skip("fixture recorded; rerun to enforce")
 
-    with open(FIXTURE) as f:
+    with open(fixture) as f:
         golden = json.load(f)["losses"]
     for i, (got, want) in enumerate(zip(losses, golden)):
         rel = abs(got - want) / max(abs(want), 1e-6)
