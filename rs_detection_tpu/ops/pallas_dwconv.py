@@ -39,12 +39,21 @@ def _dw_kernel(x_hbm, w_ref, out_ref, *, k: int, dilation: int,
         cp.start()
         cp.wait()
         wv = w_ref[:]
+        # slice the loaded VALUE, not the ref: packed-dtype (bf16) refs
+        # reject odd-sublane slice offsets under Mosaic, while value
+        # slices are vector relayouts. W-shifts (tiled sublane dim) are
+        # the expensive relayouts, so hoist them: k shifted copies,
+        # each reused across all k dy-taps (leading-dim slices of a 3D
+        # value are untiled, i.e. free) — k relayouts instead of k*k.
+        sv = scratch[:]
+        wv = wv.astype(jnp.float32)
         acc = None
         w_out = out_ref.shape[2]
-        for dy in range(k):
-            for dx in range(k):
-                tap = scratch[pl.ds(dy * dilation, bh),
-                              pl.ds(dx * dilation, w_out), :]
+        for dx in range(k):
+            sxd = sv[:, dx * dilation:dx * dilation + w_out,
+                     :].astype(jnp.float32)
+            for dy in range(k):
+                tap = sxd[dy * dilation:dy * dilation + bh]
                 term = tap * wv[dy * k + dx]
                 acc = term if acc is None else acc + term
         out_ref[0] = acc.astype(out_ref.dtype)
@@ -85,7 +94,11 @@ def _dw_forward_aligned(x, w, k, dilation):
     p = dilation * (k - 1) // 2
     bh = min(16, h)
     hpad = (-h) % bh
-    xp = jnp.pad(x, ((0, 0), (p, p + hpad), (p, p), (0, 0)))
+    # bf16 HBM->VMEM DMAs require the second-minor (W) dim of the
+    # copied window to be 16-aligned (f32: 8) — pad W and ignore the
+    # tail in the kernel's tap slices
+    wpad = (-(width + 2 * p)) % 16
+    xp = jnp.pad(x, ((0, 0), (p, p + hpad), (p, p + wpad), (0, 0)))
     grid = (n, (h + hpad) // bh)
     wf = w.reshape(k * k, c).astype(x.dtype)
 
