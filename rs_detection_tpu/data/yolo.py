@@ -213,6 +213,83 @@ class COCODataset(YoloDataset):
         self.total_len = len(self.img_infos)
 
 
+    def evaluate(self, results, work_dir=None, epoch=0,
+                 logger=None):
+        """COCO-style hbb mAP (IoU 0.50:0.95:0.05 average + AP50),
+        pycocotools-free (reference ``coco.py`` evaluates through the
+        COCO API; this reimplements the 101-point AP on the same
+        matching rules for environments without pycocotools).
+
+        Args:
+          results: list of (boxes [N,4], scores [N], labels [N]) per
+            image, aligned with ``self.img_infos``.
+        """
+        from .devkits.voc_eval import voc_ap
+
+        iou_thrs = np.arange(0.5, 1.0, 0.05)
+        n_cls = int(max((int(i["ann"]["labels"].max())
+                         for i in self.img_infos
+                         if len(i["ann"]["labels"])), default=0))
+        aps = np.zeros((len(iou_thrs), n_cls))
+        for ci in range(1, n_cls + 1):
+            gts = []
+            dets = []
+            for ii, info in enumerate(self.img_infos):
+                m = info["ann"]["labels"] == ci
+                gts.append(info["ann"]["hboxes"][m])
+                if ii < len(results):
+                    b, s, l = results[ii]
+                    dm = np.asarray(l) == ci
+                    dets.append((ii, np.asarray(b)[dm],
+                                 np.asarray(s)[dm]))
+            flat = np.concatenate(
+                [np.concatenate([np.full((len(s), 1), ii), b,
+                                 s[:, None]], 1)
+                 for ii, b, s in dets if len(s)] or
+                [np.zeros((0, 6))])
+            order = np.argsort(-flat[:, 5])
+            flat = flat[order]
+            n_gt = sum(len(g) for g in gts)
+            for ti, thr in enumerate(iou_thrs):
+                used = [np.zeros(len(g), bool) for g in gts]
+                tp = np.zeros(len(flat))
+                fp = np.zeros(len(flat))
+                for di, row in enumerate(flat):
+                    ii = int(row[0])
+                    g = gts[ii]
+                    if len(g) == 0:
+                        fp[di] = 1
+                        continue
+                    ix = np.maximum(
+                        0, np.minimum(g[:, 2], row[3])
+                        - np.maximum(g[:, 0], row[1]))
+                    iy = np.maximum(
+                        0, np.minimum(g[:, 3], row[4])
+                        - np.maximum(g[:, 1], row[2]))
+                    inter = ix * iy
+                    area_d = (row[3] - row[1]) * (row[4] - row[2])
+                    area_g = ((g[:, 2] - g[:, 0])
+                              * (g[:, 3] - g[:, 1]))
+                    iou = inter / np.maximum(
+                        area_d + area_g - inter, 1e-9)
+                    j = int(np.argmax(iou))
+                    if iou[j] >= thr and not used[ii][j]:
+                        tp[di] = 1
+                        used[ii][j] = True
+                    else:
+                        fp[di] = 1
+                rec = np.cumsum(tp) / max(n_gt, 1)
+                prec = np.cumsum(tp) / np.maximum(
+                    np.cumsum(tp) + np.cumsum(fp), 1e-9)
+                aps[ti, ci - 1] = voc_ap(rec, prec,
+                                         use_07_metric=False)
+        out = {"eval/mAP": float(aps.mean()),
+               "eval/AP50": float(aps[0].mean())}
+        if logger is not None:
+            logger.log(out)
+        return out
+
+
 @DATASETS.register_module()
 class LVISDataset(COCODataset):
     """LVIS v1 dataset (reference ``lvis.py``) — the annotation format

@@ -179,3 +179,19 @@ class RPNHead(nn.Module):
 @HEADS.register_module()
 class GlidingRPNHead(RPNHead):
     """Reference ``gliding_rpn_head.py:9`` — identical hbb RPN."""
+
+
+# legacy registry names (reference roi_heads/{anchor_generator,
+# fasterrcnn_head}.py classic Faster-RCNN path): resolve to the modern
+# equivalents — AnchorHead is the dense anchor head, FasterrcnnHead the
+# shared-FC two-stage box head
+def _register_legacy_heads():
+    from .rbbox_head import RoITransformerHead
+    from .retina_head import RetinaHead
+
+    HEADS.register_module(name="AnchorHead", module=RetinaHead)
+    HEADS.register_module(name="FasterrcnnHead",
+                          module=RoITransformerHead)
+
+
+_register_legacy_heads()

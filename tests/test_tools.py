@@ -195,3 +195,51 @@ class TestSSDDConverter:
         # x scaled by 200/100=2, y by 200/50=4
         assert line[:4] == ["20.0", "40.0", "60.0", "40.0"]
         assert line[8] == "ship"
+
+
+class TestCocoEval:
+    def test_perfect_predictions_ap1(self, tmp_path):
+        import json
+
+        import rs_detection_tpu.data as D
+
+        (tmp_path / "images").mkdir()
+        coco = dict(
+            images=[dict(id=1, file_name="a.png", width=64, height=64),
+                    dict(id=2, file_name="b.png", width=64, height=64)],
+            categories=[dict(id=7, name="cat")],
+            annotations=[
+                dict(id=1, image_id=1, category_id=7,
+                     bbox=[10, 10, 20, 12], iscrowd=0),
+                dict(id=2, image_id=2, category_id=7,
+                     bbox=[30, 20, 10, 10], iscrowd=0)])
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(coco))
+        ds = D.COCODataset(images_dir=str(tmp_path / "images"),
+                           annotations_file=str(p))
+        results = [
+            (np.array([[10, 10, 30, 22]]), np.array([0.9]),
+             np.array([1])),
+            (np.array([[30, 20, 40, 30]]), np.array([0.8]),
+             np.array([1]))]
+        out = ds.evaluate(results)
+        assert out["eval/AP50"] > 0.99
+        assert out["eval/mAP"] > 0.99
+
+    def test_misses_lower_ap(self, tmp_path):
+        import json
+
+        import rs_detection_tpu.data as D
+
+        coco = dict(
+            images=[dict(id=1, file_name="a.png", width=64, height=64)],
+            categories=[dict(id=1, name="c")],
+            annotations=[dict(id=1, image_id=1, category_id=1,
+                              bbox=[10, 10, 20, 12], iscrowd=0)])
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(coco))
+        ds = D.COCODataset(annotations_file=str(p))
+        # detection far away -> fp only
+        out = ds.evaluate([(np.array([[50, 50, 60, 60]]),
+                            np.array([0.9]), np.array([1]))])
+        assert out["eval/mAP"] == 0.0
