@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="small model/images (CPU smoke mode)")
     ap.add_argument("--batch", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -41,7 +41,7 @@ def main():
 
     on_tpu = any(d.platform not in ("cpu",) for d in jax.devices())
     tiny = args.tiny or not on_tpu
-    batch = args.batch or (2 if not tiny else 1)
+    batch = args.batch or (8 if not tiny else 1)
     img = 256 if tiny else 1024
 
     sys.path.insert(0, ".")
