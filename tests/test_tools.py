@@ -243,3 +243,50 @@ class TestCocoEval:
         out = ds.evaluate([(np.array([[50, 50, 60, 60]]),
                             np.array([0.9]), np.array([1]))])
         assert out["eval/mAP"] == 0.0
+
+
+class TestTileMerge:
+    def test_mergebypoly_coords_and_dedup(self, tmp_path):
+        from rs_detection_tpu.data.devkits.result_merge import (
+            mergebypoly, parse_tile_name, poly2origpoly)
+
+        name, x, y, rate = parse_tile_name("P0001__1.0__512___0")
+        assert (name, x, y, rate) == ("P0001", 512, 0, 1.0)
+        p = poly2origpoly([0, 0, 10, 0, 10, 10, 0, 10], 512, 0, 1.0)
+        assert p[0] == 512 and p[1] == 0
+
+        src = tmp_path / "before"
+        src.mkdir()
+        # same physical box seen in two overlapping tiles: tile at
+        # x=0 sees it at (500..520), tile at x=512 sees it at (-12..8)
+        lines = [
+            "P0001__1.0__0___0 0.9 500 100 520 100 520 110 500 110\n",
+            "P0001__1.0__512___0 0.8 -12 100 8 100 8 110 -12 110\n",
+            # a distinct far-away box
+            "P0001__1.0__0___0 0.7 10 10 30 10 30 20 10 20\n",
+            # half-scale tile: coords divide by rate -> x2
+            "P0002__0.5__0___0 0.6 50 50 60 50 60 55 50 55\n",
+        ]
+        (src / "Ship.txt").write_text("".join(lines))
+        dst = tmp_path / "after"
+        mergebypoly(str(src), str(dst), num_process=1)
+        out = (dst / "Ship.txt").read_text().strip().split("\n")
+        p1 = [l for l in out if l.startswith("P0001")]
+        p2 = [l for l in out if l.startswith("P0002")]
+        # overlap pair collapsed to the higher-score one + the far box
+        assert len(p1) == 2
+        best = [l for l in p1 if " 0.9 " in l][0]
+        assert best.split()[2] == "500.0"
+        # rate-0.5 coords scaled back to original resolution
+        vals = [float(v) for v in p2[0].split()[2:]]
+        assert vals[0] == 100.0 and vals[1] == 100.0
+
+    def test_flip_unflip(self):
+        import numpy as np
+
+        from rs_detection_tpu.data.devkits.data_merge import flip_box
+
+        poly = np.array([10.0, 10, 30, 10, 30, 20, 10, 20])
+        target = dict(flip_mode="H", ori_img_size=(100, 50))
+        un = flip_box(poly.copy(), target)
+        assert un[0] == 90.0 and un[1] == 10.0
