@@ -27,6 +27,9 @@ import numpy as np
 from flax import serialization
 
 from ..config import get_cfg, save_cfg
+from .. import data as _data  # noqa: F401  (populate DATASETS/TRANSFORMS)
+from .. import models as _models  # noqa: F401  (populate MODELS/HEADS/...)
+from .. import optims as _optims  # noqa: F401  (populate OPTIMS/SCHEDULERS)
 from ..data.collate import collate_batch
 from ..parallel.train_step import (TrainState, create_mesh,
                                    create_train_state, make_eval_step,
@@ -374,6 +377,14 @@ class Runner:
         return path
 
     def load(self, path, model_only=False):
+        if os.path.isdir(path):  # orbax checkpoint directory
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            data = ckptr.restore(os.path.abspath(path))
+            self._pending_variables = data["model"]
+            self.logger.print_log({"msg": f"loaded (orbax) {path}"})
+            return
         with open(path, "rb") as f:
             data = pickle.load(f)
         if isinstance(data, dict) and "model" in data:

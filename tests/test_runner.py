@@ -109,3 +109,16 @@ def test_runner_end_to_end(tmp_path):
     # val path produces an AP dict
     aps = runner.val()
     assert "eval/0_meanAP" in aps
+
+    # orbax save/load round-trip
+    import jax
+    import numpy as np
+
+    runner.cfg.use_orbax = True
+    opath = runner.save()
+    before = jax.tree_util.tree_leaves(runner._variables())[0]
+    runner.load(opath)
+    runner._apply_pending() if hasattr(runner, "_apply_pending") else None
+    restored = runner._pending_variables
+    leaf = jax.tree_util.tree_leaves(restored)[0]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(before))
