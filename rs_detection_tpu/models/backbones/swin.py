@@ -113,17 +113,26 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < min(h, w) else 0
         shortcut = x
         x = nn.LayerNorm(name="norm1")(x)
+        # pad to window multiples (official Swin semantics: zero pad,
+        # unpad after attention; the shifted mask is built on the
+        # padded grid)
+        hp = -(-h // ws) * ws
+        wp = -(-w // ws) * ws
+        if hp != h or wp != w:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
         wins = window_partition(x, ws)
         wins = WindowAttention(self.dim, self.num_heads, ws,
                                name="attn")(wins, mask)
-        x = window_reverse(wins, ws, h, w)
+        x = window_reverse(wins, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if hp != h or wp != w:
+            x = x[:, :h, :w]
         x = shortcut + DropPath(self.drop_path)(x,
                                                 deterministic=not train)
         h2 = nn.LayerNorm(name="norm2")(x)
@@ -162,8 +171,13 @@ class Swin(nn.Module):
             if i in self.out_indices:
                 outs.append(nn.LayerNorm(name=f"out_norm{i}")(x))
             if i < len(self.depths) - 1:
-                # patch merging: 2x2 -> 2*dim
+                # patch merging: 2x2 -> 2*dim (pad odd dims like the
+                # official impl)
                 b, h, w, c = x.shape
+                if h % 2 or w % 2:
+                    x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2),
+                                    (0, 0)))
+                    b, h, w, c = x.shape
                 x = x.reshape(b, h // 2, 2, w // 2, 2, c) \
                     .transpose(0, 1, 3, 2, 4, 5) \
                     .reshape(b, h // 2, w // 2, 4 * c)

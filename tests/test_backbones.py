@@ -116,3 +116,33 @@ class TestSK2Res2Net:
         flat = jax.tree_util.tree_leaves_with_path(vars_["params"])
         alphas = [p for p, _ in flat if "alpha" in str(p)]
         assert len(alphas) == 3 + 4 + 6 + 3
+
+
+class TestOtherBackbones:
+    """Forward-shape coverage for every registered backbone family."""
+
+    def test_swin_nondivisible_windows(self, x64):
+        from rs_detection_tpu.models.backbones.swin import Swin
+
+        m = Swin(depths=(1, 1, 1, 1))  # 16x16 stage-0 grid vs ws=7
+        v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x))(x64)
+        outs = m.apply(v, x64)
+        assert [o.shape for o in outs] == [
+            (1, 16, 16, 96), (1, 8, 8, 192),
+            (1, 4, 4, 384), (1, 2, 2, 768)]
+
+    def test_convnext_lsknet_res2net_ssdvgg(self, x64):
+        from rs_detection_tpu.models.backbones.convnext import ConvNeXt
+        from rs_detection_tpu.models.backbones.lsknet import LSKNet
+        from rs_detection_tpu.models.backbones.res2net import Res2Net
+        from rs_detection_tpu.models.backbones.ssd_vgg import SSDVGG
+
+        for m, c_last in ((ConvNeXt(), 768), (LSKNet(), 512),
+                          (Res2Net(depth=50), 2048)):
+            v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x))(x64)
+            outs = m.apply(v, x64)
+            assert outs[-1].shape[-1] == c_last
+        m = SSDVGG()
+        v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x))(x64)
+        outs = m.apply(v, x64)
+        assert outs[-1].shape[-1] == 1024
