@@ -88,3 +88,18 @@ def list_images(img_dir: str) -> List[str]:
 
 def to_np(x):
     return np.asarray(x)
+
+
+def unmap(data, count: int, inds, fill=0):
+    """Scatter ``data`` rows back into a ``count``-row array at ``inds``
+    (reference ``general.py:55`` — used to undo valid-anchor masking).
+    Accepts numpy or jax arrays."""
+    shape = (count,) + tuple(data.shape[1:])
+    if isinstance(data, np.ndarray):
+        out = np.full(shape, fill, dtype=data.dtype)
+        out[np.asarray(inds)] = data
+        return out
+    import jax.numpy as jnp
+
+    out = jnp.full(shape, fill, dtype=data.dtype)
+    return out.at[inds].set(data)
