@@ -149,6 +149,30 @@ class Runner:
 
     _pending_variables = None
 
+    def _ensure_state(self):
+        """Initialize model state for eval/test-only sessions (no
+        training step has run; e.g. ``--task test`` straight from a
+        loaded checkpoint)."""
+        if self.state is not None:
+            return
+        ds = self.test_dataset or self.val_dataset or self.train_dataset
+        images, targets, _ = next(iter(ds.batches()))
+        b = 1
+        img_hw = np.asarray(images.shape[1:3], np.float32)
+        full = dict(
+            rboxes=np.zeros((b, 1, 5), np.float32),
+            hboxes=np.zeros((b, 1, 4), np.float32),
+            polys=np.zeros((b, 1, 8), np.float32),
+            gt_mask=np.zeros((b, 1), bool),
+            labels=np.zeros((b, 1), np.int32),
+            img_hw=np.tile(img_hw[None], (b, 1)),
+            scale_factor=np.ones((b,), np.float32))
+        if isinstance(targets, dict):
+            for k, v in targets.items():
+                if k not in full:
+                    full[k] = np.asarray(v)[:b]
+        self._init_state(images, full)
+
     @staticmethod
     def _merge_loaded(init_vars, loaded):
         return serialization.from_state_dict(init_vars, loaded)
@@ -258,6 +282,7 @@ class Runner:
         if self.val_dataset is None:
             self.logger.print_log({"msg": "no val dataset, skip"})
             return {}
+        self._ensure_state()
         eval_step = self._get_eval_step()
         results = []
         for images, targets, metas in self.val_dataset.batches():
@@ -274,6 +299,7 @@ class Runner:
     def test(self, flip_test=False):
         """Tile inference (+ optional flip TTA) -> pickle -> merge."""
         assert self.test_dataset is not None
+        self._ensure_state()
         eval_step = self._get_eval_step()
         results = []
         modes = [None] + (["H", "V", "HV"] if flip_test else [])
@@ -297,7 +323,7 @@ class Runner:
             from ..data.devkits.data_merge import data_merge_result
             data_merge_result(save_file, self.work_dir, self.epoch,
                               self.cfg.name or "run",
-                              dict(self.cfg.merge_cfg))
+                              **dict(self.cfg.merge_cfg))
         return results
 
     def run_on_images(self, image_files, save_dir=None):

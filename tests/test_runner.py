@@ -122,3 +122,87 @@ def test_runner_end_to_end(tmp_path):
     restored = runner._pending_variables
     leaf = jax.tree_util.tree_leaves(restored)[0]
     np.testing.assert_allclose(np.asarray(leaf), np.asarray(before))
+
+
+@pytest.mark.slow
+def test_runner_test_task_submission(tmp_path, monkeypatch):
+    """--task test end-to-end: tile inference -> per-class txts ->
+    tile-merge poly NMS -> DOTA submission zip."""
+    import numpy as np
+    from PIL import Image
+
+    import rs_detection_tpu.data  # noqa: F401
+    import rs_detection_tpu.models  # noqa: F401
+    from rs_detection_tpu.config import get_cfg
+    from rs_detection_tpu.runner.runner import Runner
+
+    monkeypatch.chdir(tmp_path)  # submit_zips/ is cwd-relative
+    ds_dir = make_dataset(str(tmp_path / "ds"))
+    tiles = tmp_path / "tiles" / "images"
+    tiles.mkdir(parents=True)
+    rng = np.random.RandomState(1)
+    for name in ("P0001__1.0__0___0.png", "P0001__1.0__96___0.png"):
+        Image.fromarray((rng.rand(128, 128, 3) * 255).astype(
+            np.uint8)).save(tiles / name)
+
+    cfg = get_cfg()
+    cfg.clear()
+    cfg.update(dict(
+        name="runner_test_smoke",
+        work_dir=str(tmp_path / "work"),
+        max_epoch=1, max_iter=1, log_interval=1,
+        checkpoint_interval=10,
+        merge_cfg=dict(dataset_type="DOTA"),
+        model=dict(
+            type="OrientedRCNN",
+            backbone=dict(type="Resnet18", norm_eval=False),
+            neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                      out_channels=32, num_outs=5),
+            rpn=dict(type="OrientedRPNHead", in_channels=32,
+                     feat_channels=32, nms_pre=64, nms_post=32,
+                     pre_nms_cap=128,
+                     sampler=dict(type="RandomSampler", num=32,
+                                  pos_fraction=0.5)),
+            bbox_head=dict(
+                type="OrientedHead", num_classes=15, in_channels=32,
+                fc_out_channels=64,
+                sampler=dict(type="RandomSamplerRotated", num=16,
+                             pos_fraction=0.25),
+                bbox_roi_extractor=dict(
+                    type="OrientedSingleRoIExtractor",
+                    roi_layer=dict(type="ROIAlignRotated_v1",
+                                   output_size=7, sampling_ratio=2),
+                    out_channels=32, extend_factor=(1.4, 1.2),
+                    featmap_strides=[4, 8, 16, 32]))),
+        dataset=dict(
+            train=dict(type="DOTADataset", dataset_dir=ds_dir,
+                       batch_size=2, max_gt=8,
+                       transforms=[
+                           dict(type="RotatedResize", min_size=128,
+                                max_size=128),
+                           dict(type="Normalize",
+                                mean=[123.675, 116.28, 103.53],
+                                std=[58.395, 57.12, 57.375],
+                                to_bgr=False)]),
+            test=dict(type="ImageDataset",
+                      images_dir=str(tiles),
+                      dataset_type="DOTA", batch_size=2,
+                      transforms=[
+                          dict(type="RotatedResize", min_size=128,
+                               max_size=128),
+                          dict(type="Normalize",
+                               mean=[123.675, 116.28, 103.53],
+                               std=[58.395, 57.12, 57.375],
+                               to_bgr=False)])),
+        optimizer=dict(type="SGD", lr=0.001, momentum=0.9),
+        scheduler=dict(type="StepLR", milestones=[8]),
+    ))
+
+    runner = Runner()
+    runner.test(flip_test=True)
+    # pickle written
+    assert os.path.exists(os.path.join(
+        cfg.work_dir, "test", "test_0.pkl"))
+    # submission zip assembled
+    assert os.path.exists(os.path.join("submit_zips",
+                                       "runner_test_smoke.zip"))
