@@ -197,6 +197,28 @@ def roi_pool(features, rois, output_size: int, spatial_scale: float):
 # Pyramid RoIAlign: one gather over a flattened FPN pyramid
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _bin_mean(x, s: int):
+    """Non-overlapping s x s window mean over dims (1, 2) of
+    [R, G, G, C] via reduce_window (fastest layout-preserving lowering
+    on TPU; generic reduce_window lacks autodiff, so the adjoint — a
+    plain broadcast for stride == window — is supplied manually)."""
+    return jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, s, s, 1), (1, s, s, 1), "VALID") / (s * s)
+
+
+def _bin_mean_fwd(x, s: int):
+    return _bin_mean(x, s), None
+
+
+def _bin_mean_bwd(s: int, _, g):
+    return (jnp.repeat(jnp.repeat(g, s, axis=1), s, axis=2) / (s * s),)
+
+
+_bin_mean.defvjp(_bin_mean_fwd, _bin_mean_bwd)
+
+
 def _pyramid_flatten(feats):
     """[ [N,H_l,W_l,C] ] -> ([N*S, C], level row offsets, (H_l, W_l))."""
     n = feats[0].shape[0]
@@ -327,11 +349,22 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
     t0, t1 = fused(y_low)
     b0, b1 = fused(y_high)
     # x_high == x_low at the right border, where lx == 0 by the clamp
-    # above — the (unused) x_low+1 cell then carries weight 0
-    out = (hy * (hx * t0 + lx * t1) + ly * (hx * b0 + lx * b1))
-    out = jnp.where(oob[..., None], 0.0, out)
-    out = out.reshape(out.shape[0], p, s, p, s, -1)
-    return out.mean(axis=(2, 4))[inv]
+    # above — the (unused) x_low+1 cell then carries weight 0.
+    # The combine is bandwidth-bound (4 corner tensors of [R,G,G,C]):
+    # keep it in the feature dtype (f32 weights would upcast
+    # everything, doubling traffic) and fold the oob zeroing into the
+    # y-weights instead of a separate select pass.
+    live = 1.0 - oob.astype(jnp.float32)[..., None]
+    dt = flat.dtype
+    hy_ = (hy * live).astype(dt)
+    ly_ = (ly * live).astype(dt)
+    lx_ = lx.astype(dt)
+    hx_ = hx.astype(dt)
+    out = (hy_ * (hx_ * t0 + lx_ * t1) + ly_ * (hx_ * b0 + lx_ * b1))
+    # per-bin mean over the s x s sample grid, keeping the
+    # [R, G, G, C] layout (a 6-D reshape or strided slices both force
+    # expensive relayouts on TPU)
+    return _bin_mean(out, s)[inv]
 
 
 @functools.partial(jax.jit,
