@@ -198,25 +198,25 @@ def roi_pool(features, rois, output_size: int, spatial_scale: float):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _bin_mean(x, s: int):
-    """Non-overlapping s x s window mean over dims (1, 2) of
-    [R, G, G, C] via reduce_window (fastest layout-preserving lowering
-    on TPU; generic reduce_window lacks autodiff, so the adjoint — a
-    plain broadcast for stride == window — is supplied manually)."""
+def _row_window_mean(x, k: int):
+    """Non-overlapping k-row window mean over dim 0 of [N, C] via
+    reduce_window (layout-preserving on TPU — never re-tiles; generic
+    reduce_window lacks autodiff, so the adjoint — a plain broadcast
+    for stride == window — is supplied manually)."""
     return jax.lax.reduce_window(
         x, jnp.zeros((), x.dtype), jax.lax.add,
-        (1, s, s, 1), (1, s, s, 1), "VALID") / (s * s)
+        (k, 1), (k, 1), "VALID") / k
 
 
-def _bin_mean_fwd(x, s: int):
-    return _bin_mean(x, s), None
+def _row_window_mean_fwd(x, k: int):
+    return _row_window_mean(x, k), None
 
 
-def _bin_mean_bwd(s: int, _, g):
-    return (jnp.repeat(jnp.repeat(g, s, axis=1), s, axis=2) / (s * s),)
+def _row_window_mean_bwd(k: int, _, g):
+    return (jnp.repeat(g, k, axis=0) / k,)
 
 
-_bin_mean.defvjp(_bin_mean_fwd, _bin_mean_bwd)
+_row_window_mean.defvjp(_row_window_mean_fwd, _row_window_mean_bwd)
 
 
 def _pyramid_flatten(feats):
@@ -308,8 +308,22 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
     x = xg * ct + yg * st + cx[:, None, None]           # [R, G, G]
     y = yg * ct - xg * st + cy[:, None, None]
 
-    h_r = h_tab[lvl][:, None, None]
-    w_r = w_tab[lvl][:, None, None]
+    # Reorder samples BIN-MAJOR (bin_y, bin_x, dy, dx) right at the f32
+    # coordinate stage, so ALL downstream index math, weights, gathers,
+    # and the bin mean run on clean flat 2-D [R, S] / [R*S, C] layouts
+    # (a [R, G, G, C] view of the gather output pads G to sublane
+    # multiples — a full physical relayout of ~GB tensors, measured
+    # 2x10 ms at batch 8; and permuting the int index tensors instead
+    # materializes slow 5-D broadcasts).
+    def binmajor(a):
+        return a.reshape(a.shape[0], p, s, p, s) \
+            .transpose(0, 1, 3, 2, 4).reshape(a.shape[0], -1)
+
+    x = binmajor(x)                                     # [R, S]
+    y = binmajor(y)
+
+    h_r = h_tab[lvl][:, None]
+    w_r = w_tab[lvl][:, None]
     oob = (y < -1.0) | (y > h_r.astype(y.dtype)) \
         | (x < -1.0) | (x > w_r.astype(x.dtype))
     y = jnp.maximum(y, 0.0)
@@ -324,12 +338,12 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
     x_high = jnp.where(xc, w_r - 1, x_low + 1)
     y = jnp.where(yc, y_low.astype(y.dtype), y)
     x = jnp.where(xc, x_low.astype(x.dtype), x)
-    ly = (y - y_low.astype(y.dtype))[..., None]
-    lx = (x - x_low.astype(x.dtype))[..., None]
+    ly = y - y_low.astype(y.dtype)                      # [R, S]
+    lx = x - x_low.astype(x.dtype)
     hy = 1.0 - ly
     hx = 1.0 - lx
 
-    base = (b_idx * total + off_tab[lvl])[:, None, None]  # [R,1,1]
+    base = (b_idx * total + off_tab[lvl])[:, None]      # [R, 1]
 
     # TPU gathers are issue-bound (~100M rows/s regardless of row size
     # or locality), so halve the row count: pack the pyramid into
@@ -341,30 +355,31 @@ def roi_align_rotated_pyramid(feats, rois, output_size: int,
     packed = jnp.concatenate(
         [flat, jnp.roll(flat, -1, axis=0)], axis=1)    # [NR, 2C]
 
-    def fused(yi):
-        f = base + yi * w_r + x_low                    # [R, G, G]
-        rows = packed[f]                               # [R, G, G, 2C]
-        return rows[..., :c], rows[..., c:]
-
-    t0, t1 = fused(y_low)
-    b0, b1 = fused(y_high)
+    r_n = rois.shape[0]
+    S = (p * s) * (p * s)
+    f_lo = (base + y_low * w_r + x_low).reshape(r_n * S)
+    f_hi = (base + y_high * w_r + x_low).reshape(r_n * S)
+    rows_t = packed[f_lo]                              # [R*S, 2C]
+    rows_b = packed[f_hi]
     # x_high == x_low at the right border, where lx == 0 by the clamp
     # above — the (unused) x_low+1 cell then carries weight 0.
-    # The combine is bandwidth-bound (4 corner tensors of [R,G,G,C]):
-    # keep it in the feature dtype (f32 weights would upcast
-    # everything, doubling traffic) and fold the oob zeroing into the
-    # y-weights instead of a separate select pass.
-    live = 1.0 - oob.astype(jnp.float32)[..., None]
+    # The combine stays in the feature dtype (f32 weights would upcast
+    # everything, doubling traffic); oob zeroing folds into the
+    # y-weights.
+    live = 1.0 - oob.astype(jnp.float32)
     dt = flat.dtype
-    hy_ = (hy * live).astype(dt)
-    ly_ = (ly * live).astype(dt)
-    lx_ = lx.astype(dt)
-    hx_ = hx.astype(dt)
-    out = (hy_ * (hx_ * t0 + lx_ * t1) + ly_ * (hx_ * b0 + lx_ * b1))
-    # per-bin mean over the s x s sample grid, keeping the
-    # [R, G, G, C] layout (a 6-D reshape or strided slices both force
-    # expensive relayouts on TPU)
-    return _bin_mean(out, s)[inv]
+
+    def wcol(w):
+        return w.reshape(r_n * S, 1).astype(dt)
+
+    hy_ = wcol(hy * live)
+    ly_ = wcol(ly * live)
+    lx_ = wcol(lx)
+    hx_ = wcol(hx)
+    out = (hy_ * (hx_ * rows_t[:, :c] + lx_ * rows_t[:, c:])
+           + ly_ * (hx_ * rows_b[:, :c] + lx_ * rows_b[:, c:]))
+    pooled = _row_window_mean(out, s * s)              # [R*P*P, C]
+    return pooled.reshape(r_n, p, p, c)[inv]
 
 
 @functools.partial(jax.jit,
