@@ -181,16 +181,25 @@ class OrientedRPNHead(nn.Module):
         def per_image(args):
             cls_list, reg_list, hw = args
             cand_scores, cand_deltas, cand_anchors, cand_lvl = [], [], [], []
+            na, rd = self.num_anchors, self.reg_dim
             for lvl in range(len(cls_list)):
                 scores = jax.nn.sigmoid(
                     cls_list[lvl].reshape(-1).astype(jnp.float32))
-                deltas = reg_list[lvl].reshape(
-                    -1, self.reg_dim).astype(jnp.float32)
                 anchors = mlvl_anchors[lvl]
                 k = min(self.nms_pre, scores.shape[0])
                 top_s, top_i = fast_top_k(scores, k)
+                # gather regression rows in the conv's native
+                # [H*W, A*6] layout (that reshape is free) and slice
+                # the anchor's 6 columns — reshaping the whole dense
+                # map to [-1, 6] first re-tiles the padded lane dim, a
+                # full-tensor relayout just to keep k rows
+                reg2 = reg_list[lvl].reshape(-1, na * rd)
+                rows = reg2[top_i // na].astype(jnp.float32)  # [k, A*6]
+                cols = ((top_i % na)[:, None] * rd
+                        + jnp.arange(rd)[None, :])
+                deltas = jnp.take_along_axis(rows, cols, axis=1)
                 cand_scores.append(top_s)
-                cand_deltas.append(deltas[top_i])
+                cand_deltas.append(deltas)
                 cand_anchors.append(anchors[top_i])
                 cand_lvl.append(jnp.full((k,), lvl, jnp.float32))
             scores = jnp.concatenate(cand_scores)
