@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
+from ...ops.pallas_roi_align import roi_align_rotated_pyramid_pallas
 from ...ops.roi_align import (roi_align, roi_align_rotated,
                               roi_align_rotated_pyramid)
 from ...utils.registry import ROI_EXTRACTORS
@@ -36,7 +38,7 @@ def map_roi_levels(scale: jnp.ndarray, num_levels: int,
 class OrientedSingleRoIExtractor:
     def __init__(self, roi_layer=None, out_channels=256,
                  featmap_strides=(4, 8, 16, 32), extend_factor=(1.0, 1.0),
-                 finest_scale=56):
+                 finest_scale=56, impl="auto", fallback_frac=0.125):
         roi_layer = roi_layer or {}
         self.output_size = roi_layer.get("output_size", 7)
         self.sampling_ratio = max(int(roi_layer.get("sampling_ratio", 2)), 1)
@@ -44,6 +46,11 @@ class OrientedSingleRoIExtractor:
         self.featmap_strides = tuple(featmap_strides)
         self.extend_factor = tuple(extend_factor)
         self.finest_scale = finest_scale
+        # 'auto' -> Pallas window+MXU kernel on TPU (ops/
+        # pallas_roi_align.py), XLA pyramid gather elsewhere; 'xla' /
+        # 'pallas' force a path
+        self.impl = impl
+        self.fallback_frac = fallback_frac
 
     @property
     def num_inputs(self):
@@ -64,6 +71,16 @@ class OrientedSingleRoIExtractor:
         h = rois[:, 4] * ef_h
         rois = jnp.concatenate(
             [rois[:, :3], w[:, None], h[:, None], rois[:, 5:6]], axis=1)
+        use_pallas = (self.impl == "pallas"
+                      or (self.impl == "auto"
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            return roi_align_rotated_pyramid_pallas(
+                list(feats), rois, self.output_size,
+                strides=tuple(self.featmap_strides),
+                sampling_ratio=self.sampling_ratio,
+                finest_scale=float(self.finest_scale),
+                fallback_frac=self.fallback_frac)
         # one gather over the flattened pyramid — each roi sampled only
         # at its own level (see ops/roi_align.py)
         return roi_align_rotated_pyramid(
