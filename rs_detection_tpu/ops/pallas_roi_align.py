@@ -131,12 +131,18 @@ def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool):
             pltpu.SemaphoreType.DMA((2, rb)),
         ],
     )
+    itemsize = jnp.dtype(dt).itemsize
+    win_bytes = 2 * rb * WIN_H * WIN_W * cp * itemsize
+    a_bytes = 2 * rb * pp * area * itemsize
+    out_bytes = 2 * rb * pp * cp * 4
     return pl.pallas_call(
         functools.partial(_pool_kernel, num_levels=num_levels, rb=rb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, pp, cp), dt),
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True),
+            has_side_effects=True,
+            vmem_limit_bytes=min(win_bytes + a_bytes + out_bytes
+                                 + 4 * 1024 * 1024, 100 * 1024 * 1024)),
         interpret=interpret,
     )(meta1, meta2, a.astype(dt), *feats)
 
