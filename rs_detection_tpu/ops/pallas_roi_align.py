@@ -54,6 +54,11 @@ X_ALIGN = 16
 _EXTENT = 30.0
 
 
+import os
+
+_DEBUG = os.environ.get("RS_PALLAS_ROI_DEBUG", "")   # "nodma"|"nomatmul"
+
+
 def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
                  rb: int):
     feat_refs = rest[:num_levels]
@@ -87,26 +92,32 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
     slot = jax.lax.rem(i, 2)
     nslot = jax.lax.rem(i + 1, 2)
 
-    @pl.when(i == 0)
-    def _():
-        issue(0, 0)
+    if _DEBUG != "nodma":
+        @pl.when(i == 0)
+        def _():
+            issue(0, 0)
 
-    @pl.when(i + 1 < nprog)
-    def _():
-        issue(i + 1, nslot)
+        @pl.when(i + 1 < nprog)
+        def _():
+            issue(i + 1, nslot)
 
     for k in range(rb):
-        # wait via a descriptor with the same dst/semaphore (every
-        # level's copy moves the same window byte count, so the src
-        # ref need not match the one that was started)
-        pltpu.make_async_copy(
-            feat_refs[0].at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W), :],
-            win.at[slot, k],
-            sems.at[slot, k]).wait()
+        if _DEBUG != "nodma":
+            # wait via a descriptor with the same dst/semaphore (every
+            # level's copy moves the same window byte count, so the src
+            # ref need not match the one that was started)
+            pltpu.make_async_copy(
+                feat_refs[0].at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W), :],
+                win.at[slot, k],
+                sems.at[slot, k]).wait()
         a = a_ref[k]                                     # [PP, AREA]
         w = win[slot, k].reshape(WIN_H * WIN_W, -1)      # [AREA, C]
-        pooled = jnp.dot(a, w.astype(a.dtype),
-                         preferred_element_type=jnp.float32)
+        if _DEBUG == "nomatmul":
+            pooled = (w[:49] * a[:, :1].astype(w.dtype)).astype(
+                jnp.float32)
+        else:
+            pooled = jnp.dot(a, w.astype(a.dtype),
+                             preferred_element_type=jnp.float32)
         out_ref[k] = pooled.astype(out_ref.dtype)
 
 
