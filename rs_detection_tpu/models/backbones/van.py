@@ -13,12 +13,15 @@ depthwise convs map to XLA's grouped convolutions.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import os
+from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ...ops.pallas_van_mlp import _ref_mlp, van_mlp
 from ...utils.registry import BACKBONES
 from ..utils.modules import DropPath, Norm, kaiming_normal_fanout
 
@@ -63,19 +66,53 @@ class SpatialAttention(nn.Module):
         return x + shortcut
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv-compatible tree (kernel, bias) —
+    lets Mlp route compute through the fused Pallas kernel while the
+    checkpoint layout stays byte-identical to the nn.Conv version."""
+
+    kshape: Tuple[int, ...]
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.kshape)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.kshape[-1],))
+        return k, b
+
+
 class Mlp(nn.Module):
+    """fc1 (1x1) -> dw 3x3 -> GELU -> fc2 (1x1). On TPU the whole MLP
+    runs as one fused Pallas kernel (ops/pallas_van_mlp.py) keeping the
+    4x-hidden tensor in VMEM; elsewhere the equivalent XLA
+    composition."""
+
     hidden: int
     out: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.hidden, (1, 1), dtype=x.dtype,
-                    kernel_init=kaiming_normal_fanout(), name="fc1")(x)
-        x = _dwconv(x, self.hidden, 3, name="dwconv")
-        x = nn.gelu(x)
-        x = nn.Conv(self.out, (1, 1), dtype=x.dtype,
-                    kernel_init=kaiming_normal_fanout(), name="fc2")(x)
-        return x
+        c = x.shape[-1]
+        w1, b1 = _ConvParams((1, 1, c, self.hidden),
+                             kaiming_normal_fanout(), name="fc1")()
+        wdw, bdw = _ConvParams((3, 3, 1, self.hidden),
+                               kaiming_normal_fanout(), name="dwconv")()
+        w2, b2 = _ConvParams((1, 1, self.hidden, self.out),
+                             kaiming_normal_fanout(), name="fc2")()
+        dt = x.dtype
+        args = (x, w1.reshape(c, self.hidden).astype(dt),
+                b1.astype(dt), wdw.reshape(9, self.hidden).astype(dt),
+                bdw.astype(dt), w2.reshape(self.hidden, self.out)
+                .astype(dt), b2.astype(dt))
+        # The fused kernel matches XLA per-stage in isolation but
+        # REGRESSES e2e (53.3 -> 46.0 tiles/s: it breaks XLA's fusion
+        # of the surrounding norm/layer-scale/residual and pays a
+        # channel-pad copy at C=320) — keep it opt-in for future work.
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("RS_VAN_MLP_PALLAS") == "1"):
+            return van_mlp(*args)
+        return _ref_mlp(*args)
 
 
 class VANBlock(nn.Module):

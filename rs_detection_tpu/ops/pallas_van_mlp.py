@@ -1,0 +1,181 @@
+"""Fused VAN MLP: fc1 (1x1) -> depthwise 3x3 -> GELU -> fc2 (1x1).
+
+VAN spends most of its backbone time in the block MLPs (measured
+41.6 ms of a 70.5 ms backbone at batch 8 / 1024^2 —
+tools/analysis_tools/van_mlp_microbench.py): the 4x-hidden tensor
+makes four HBM trips between fc1, the depthwise conv, and fc2
+(~20 GB/iter for VAN-b3). This kernel keeps the hidden tensor in VMEM:
+each program DMAs a row block of x (1-row halo), runs fc1 on the MXU,
+the 9-tap depthwise + GELU on the VPU, and fc2 on the MXU — HBM
+traffic drops to read-x + write-out.
+
+Semantics match the XLA path in ``models/backbones/van.py:Mlp``
+(reference ``python/jdet/models/backbones/van.py:216-243``): SAME
+zero-padding on the *hidden* tensor for the depthwise conv, biases on
+all three convs, flax-default approximate GELU. Backward falls back to
+the XLA composition via ``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
+    """Pure-XLA reference composition (also the custom_vjp bwd)."""
+    h = jnp.einsum("nhwc,cd->nhwd", x, w1) + b1
+    c = h.shape[-1]
+    h = jax.lax.conv_general_dilated(
+        h, wdw.reshape(3, 3, 1, c), (1, 1), [(1, 1), (1, 1)],
+        feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=h.dtype) + bdw
+    h = jax.nn.gelu(h)
+    return jnp.einsum("nhwd,dc->nhwc", h, w2) + b2
+
+
+def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
+                b2_ref, out_ref, xbuf, sems, *, bh: int, h: int, w: int,
+                wp: int, c: int, ch: int):
+    n_i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    rows = bh + 2
+
+    def dma(prog_n, prog_j, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[prog_n, pl.ds(prog_j * bh, rows)],
+            xbuf.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(j, 2)
+    nslot = jax.lax.rem(j + 1, 2)
+
+    @pl.when(j == 0)
+    def _():
+        dma(n_i, 0, 0).start()
+
+    # prefetch the next row block (same image; across images the first
+    # block restarts the pipeline)
+    @pl.when(j + 1 < nj)
+    def _():
+        dma(n_i, j + 1, nslot).start()
+
+    dma(n_i, j, slot).wait()
+
+    f32 = jnp.float32
+    xv = xbuf[slot]                                     # [rows, wp, Cin]
+    h1 = jnp.dot(xv.reshape(rows * wp, xv.shape[-1]), w1_ref[:],
+                 preferred_element_type=f32)
+    h1 = (h1 + b1_ref[0].astype(f32)).astype(xv.dtype) \
+        .reshape(rows, wp, ch)
+    # zero the dw conv's SAME padding on the HIDDEN tensor: fc1 of a
+    # zero-padded x row/col is bias, not zero
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0) \
+        + j * bh
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
+    valid = ((row_ids >= 1) & (row_ids <= h)
+             & (col_ids >= 1) & (col_ids <= w))
+    h1 = jnp.where(valid, h1, 0)
+
+    wdw = wdw_ref[:].astype(f32)                        # [9, Ch]
+    acc = None
+    # dx (sublane) shifts are relayouts — hoist them so each of the 3
+    # shifted copies serves all 3 dy-taps (leading-dim slices are free)
+    for dx in range(3):
+        sxd = h1[:, dx:dx + w].astype(f32)              # [rows, w, Ch]
+        for dy in range(3):
+            tap = sxd[dy:dy + bh] * wdw[dy * 3 + dx]
+            acc = tap if acc is None else acc + tap
+    # bias-add in f32, GELU in the compute dtype (matches the XLA
+    # path's bf16 gelu; ~2x VPU rate from packed bf16)
+    h2 = jax.nn.gelu((acc + bdw_ref[0].astype(f32)).astype(xv.dtype))
+
+    out = jnp.dot(h2.reshape(bh * w, ch), w2_ref[:],
+                  preferred_element_type=f32)
+    out = out + b2_ref[0].astype(f32)
+    out_ref[0] = out.reshape(bh, w, c).astype(out_ref.dtype)
+
+
+def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2):
+    n, h, w, c = x.shape
+    ch = w1.shape[-1]
+    # manual DMA slices need a 128-multiple lane (channel) dim — pad x
+    # and w1's input rows (zero rows contribute nothing to fc1)
+    cpad = (-c) % 128
+    if cpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        w1 = jnp.pad(w1, ((0, cpad), (0, 0)))
+    cin = c + cpad
+    # W halo of 1 zero col each side; round the padded width up to the
+    # bf16 DMA tile (16) — extra cols are masked in-kernel
+    wp = w + 2 + (-(w + 2)) % 16
+    # block height: keep the VMEM-resident hidden block ~<= 4 MB
+    bh = int(min(32, max(8, (4_000_000 // (wp * ch * 2)) // 8 * 8)))
+    bh = min(bh, h)
+    hpad = (-h) % bh
+    xp = jnp.pad(x, ((0, 0), (1, 1 + hpad), (1, wp - w - 1), (0, 0)))
+    grid = (n, (h + hpad) // bh)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, bh=bh, h=h, w=w, wp=wp, c=c,
+                          ch=ch),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((cin, ch), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, ch), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h + hpad, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, w1.astype(x.dtype), b1.astype(jnp.float32)[None],
+      wdw.astype(x.dtype), bdw.astype(jnp.float32)[None],
+      w2.astype(x.dtype), b2.astype(jnp.float32)[None])
+    return out[:, :h]
+
+
+@jax.custom_vjp
+def van_mlp(x, w1, b1, wdw, bdw, w2, b2):
+    """Fused VAN MLP.
+
+    Args:
+      x: [N, H, W, C]; w1: [C, Ch]; b1: [Ch]; wdw: [9, Ch] (3x3 taps
+      row-major); bdw: [Ch]; w2: [Ch, C]; b2: [C].
+
+    Returns [N, H, W, C].
+    """
+    return _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2)
+
+
+def _fwd(x, w1, b1, wdw, bdw, w2, b2):
+    return _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2), \
+        (x, w1, b1, wdw, bdw, w2, b2)
+
+
+def _bwd(res, g):
+    _, vjp = jax.vjp(_ref_mlp, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+van_mlp.defvjp(_fwd, _bwd)

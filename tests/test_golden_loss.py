@@ -144,8 +144,109 @@ def build_retinanet():
     return _finish(model, images, _tiny_targets(img))
 
 
+def _rich_targets(img=64):
+    """Targets with hboxes/polys for the two-stage hbb-RPN models
+    (same boxes as _tiny_targets)."""
+    from rs_detection_tpu.ops import box_ops as B
+    t = _tiny_targets(img)
+    polys = B.rotated_box_to_poly(np.asarray(t["rboxes"]).reshape(-1, 5))
+    polys = jnp.asarray(polys).reshape(1, 8, 8)
+    hboxes = jnp.stack([polys[..., 0::2].min(-1), polys[..., 1::2].min(-1),
+                        polys[..., 0::2].max(-1), polys[..., 1::2].max(-1)],
+                       -1)
+    t["polys"] = polys
+    t["hboxes"] = hboxes
+    return t
+
+
+def build_fcos():
+    from rs_detection_tpu.models.backbones.resnet import ResNet
+    from rs_detection_tpu.models.necks.fpn import FPN
+    from rs_detection_tpu.models.networks.single_stage import FCOS
+    from rs_detection_tpu.models.roi_heads.fcos_head import FCOSHead
+
+    model = FCOS(
+        backbone=ResNet(depth=18, norm_eval=False),
+        neck=FPN(in_channels=(64, 128, 256, 512), out_channels=32,
+                 num_outs=5, add_extra_convs="on_input"),
+        bbox_head=FCOSHead(num_classes=3, in_channels=32,
+                           feat_channels=32, stacked_convs=2,
+                           strides=(4, 8, 16, 32, 64),
+                           regress_ranges=((-1, 16), (16, 32), (32, 64),
+                                           (64, 128), (128, 1e8)),
+                           nms_pre=32, max_per_img=16))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _tiny_targets(img))
+
+
+def _resnet_fpn32():
+    from rs_detection_tpu.models.backbones.resnet import ResNet
+    from rs_detection_tpu.models.necks.fpn import FPN
+    return (ResNet(depth=18, norm_eval=False),
+            FPN(in_channels=(64, 128, 256, 512), out_channels=32,
+                num_outs=5, add_extra_convs="on_input"))
+
+
+def build_gliding():
+    from rs_detection_tpu.models.networks.gliding_vertex import \
+        GlidingVertex
+
+    bb, neck = _resnet_fpn32()
+    model = GlidingVertex(
+        backbone=bb, neck=neck,
+        rpn=dict(type="GlidingRPNHead", in_channels=32,
+                 feat_channels=32, nms_pre=64, nms_post=32),
+        bbox_head=dict(
+            type="GlidingHead", num_classes=15, in_channels=32,
+            fc_out_channels=64, sampler=dict(num=16, pos_fraction=0.25),
+            bbox_roi_extractor=dict(
+                roi_layer=dict(output_size=7, sampling_ratio=2),
+                out_channels=32, featmap_strides=[4, 8, 16, 32])))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _rich_targets(img))
+
+
+def build_roitrans():
+    from rs_detection_tpu.models.networks.roi_transformer import \
+        RoITransformer
+
+    bb, neck = _resnet_fpn32()
+    model = RoITransformer(
+        backbone=bb, neck=neck,
+        rpn=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                 nms_pre=64, nms_post=32),
+        bbox_head=dict(type="RoITransformerHead", num_classes=15,
+                       in_channels=32, sampler_num=16,
+                       pos_fraction=0.25,
+                       featmap_strides=[4, 8, 16, 32]))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _rich_targets(img))
+
+
+def build_r3det():
+    from rs_detection_tpu.models.networks.r3det import R3Det
+    from rs_detection_tpu.models.roi_heads.retina_head import RetinaHead
+
+    bb, neck = _resnet_fpn32()
+    model = R3Det(backbone=bb, neck=neck,
+                  bbox_head=RetinaHead(num_classes=4, in_channels=32,
+                                       feat_channels=32))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _rich_targets(img))
+
+
 _BUILDERS = {"orcnn": build_orcnn, "s2anet": build_s2anet,
-             "retinanet": build_retinanet}
+             "retinanet": build_retinanet, "fcos": build_fcos,
+             "gliding": build_gliding, "roitrans": build_roitrans,
+             "r3det": build_r3det}
 
 
 @pytest.mark.slow

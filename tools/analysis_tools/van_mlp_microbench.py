@@ -37,20 +37,27 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     mode: str = "full"   # full | nodw | dw_only
+    blocks: int = 1      # stack all of a stage's blocks in ONE call so
+    # per-dispatch overhead (~ms through the tunnel) amortizes away
 
     @nn.compact
     def __call__(self, x):
-        if self.mode == "dw_only":
-            return nn.Conv(x.shape[-1], (3, 3), padding=1,
-                           feature_group_count=x.shape[-1],
-                           dtype=x.dtype, name="dw")(x)
-        h = nn.Conv(self.hidden, (1, 1), dtype=x.dtype, name="fc1")(x)
-        if self.mode == "full":
-            h = nn.Conv(self.hidden, (3, 3), padding=1,
-                        feature_group_count=self.hidden,
-                        dtype=x.dtype, name="dw")(h)
-        h = nn.gelu(h)
-        return nn.Conv(self.out, (1, 1), dtype=x.dtype, name="fc2")(h)
+        for i in range(self.blocks):
+            if self.mode == "dw_only":
+                x = nn.Conv(x.shape[-1], (3, 3), padding=1,
+                            feature_group_count=x.shape[-1],
+                            dtype=x.dtype, name=f"dw{i}")(x)
+                continue
+            h = nn.Conv(self.hidden, (1, 1), dtype=x.dtype,
+                        name=f"fc1_{i}")(x)
+            if self.mode == "full":
+                h = nn.Conv(self.hidden, (3, 3), padding=1,
+                            feature_group_count=self.hidden,
+                            dtype=x.dtype, name=f"dw{i}")(h)
+            h = nn.gelu(h)
+            x = x + nn.Conv(self.out, (1, 1), dtype=x.dtype,
+                            name=f"fc2_{i}")(h)
+        return x
 
 
 def main():
@@ -65,14 +72,15 @@ def main():
     for h, c, ratio, blocks in stages:
         x = jnp.zeros((8, h, h, c), dt)
         xh = jnp.zeros((8, h, h, c * ratio), dt)
-        print(f"stage [8,{h},{h},{c}] hidden {c * ratio} x{blocks}:")
-        t_full = bench(Mlp(c * ratio, c, "full"), x, "mlp full")
-        t_nodw = bench(Mlp(c * ratio, c, "nodw"), x, "mlp no-dw")
-        t_dw = bench(Mlp(0, 0, "dw_only"), xh, "dw3 hidden")
-        total["full"] += t_full * blocks
-        total["nodw"] += t_nodw * blocks
-        total["dw_hidden"] += t_dw * blocks
-    print("--- weighted by block counts ---")
+        print(f"stage [8,{h},{h},{c}] hidden {c * ratio} x{blocks}"
+              " (whole stage per call):", flush=True)
+        total["full"] += bench(Mlp(c * ratio, c, "full", blocks), x,
+                               "mlp full")
+        total["nodw"] += bench(Mlp(c * ratio, c, "nodw", blocks), x,
+                               "mlp no-dw")
+        total["dw_hidden"] += bench(Mlp(0, 0, "dw_only", blocks), xh,
+                                    "dw3 hidden")
+    print("--- stage-stacked totals ---")
     for k, v in total.items():
         print(f"  {k:10s} {v:7.1f} ms")
 
