@@ -105,9 +105,17 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None,
-                   axis_name: str = "data") -> Callable:
+                   axis_name: str = "data",
+                   use_shard_map: bool = True) -> Callable:
     """Jitted inference step: (variables, images, targets) -> dense
-    detections dict."""
+    detections dict.
+
+    With a mesh, the default is ``shard_map`` (each device runs the
+    whole predict graph on its batch shard): unlike jit-GSPMD this
+    composes with the Pallas RoIAlign kernel, which has no SPMD
+    partitioning rule and would otherwise be replicated across chips.
+    ``use_shard_map=False`` keeps the GSPMD path (XLA-op graphs only).
+    """
 
     def eval_fn(variables, images, targets):
         return model.apply(variables, images, targets,
@@ -116,5 +124,14 @@ def make_eval_step(model, mesh: Optional[Mesh] = None,
     if mesh is None:
         return jax.jit(eval_fn)
     replicated, batch = shardings(mesh, axis_name)
-    return jax.jit(eval_fn, in_shardings=(replicated, batch, batch),
+    if not use_shard_map:
+        return jax.jit(eval_fn, in_shardings=(replicated, batch, batch),
+                       out_shardings=batch)
+
+    from jax.experimental.shard_map import shard_map
+    mapped = shard_map(
+        eval_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name), check_rep=False)
+    return jax.jit(mapped, in_shardings=(replicated, batch, batch),
                    out_shardings=batch)

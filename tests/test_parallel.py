@@ -149,3 +149,46 @@ class TestSWA:
                          "meta": {"epoch": 9}}, f)
         out = average_checkpoints([str(p1), str(p2)])
         assert np.allclose(out["model"]["w"], 2.0)
+
+
+class TestShardMapEval:
+    def test_shard_map_eval_matches_jit(self):
+        """shard_map eval (the Pallas-compatible multi-chip path) ==
+        plain jit on the virtual 8-device mesh."""
+        from flax import linen as nn
+
+        from rs_detection_tpu.parallel.train_step import (create_mesh,
+                                                          make_eval_step)
+
+        class Toy(nn.Module):
+            def setup(self):
+                self.dense = nn.Dense(4)
+
+            def __call__(self, images, targets=None, train=False):
+                return self.dense(images)
+
+            def predict(self, images, targets=None):
+                return {"det": self.dense(images),
+                        "score": self.dense(images).max(-1)}
+
+        model = Toy()
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(16, 8).astype(np.float32))
+        targets = {"img_hw": jnp.ones((16, 2), np.float32)}
+        variables = model.init({"params": jax.random.PRNGKey(0)}, images)
+
+        mesh = create_mesh(8)
+        with mesh:
+            out_sm = make_eval_step(model, mesh,
+                                    use_shard_map=True)(variables,
+                                                        images, targets)
+            out_gspmd = make_eval_step(model, mesh,
+                                       use_shard_map=False)(variables,
+                                                            images,
+                                                            targets)
+        out_1 = make_eval_step(model)(variables, images, targets)
+        for k in out_1:
+            np.testing.assert_allclose(np.asarray(out_sm[k]),
+                                       np.asarray(out_1[k]), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(out_gspmd[k]),
+                                       np.asarray(out_1[k]), atol=1e-6)
