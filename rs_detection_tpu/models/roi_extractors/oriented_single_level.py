@@ -56,7 +56,8 @@ class OrientedSingleRoIExtractor:
     def num_inputs(self):
         return len(self.featmap_strides)
 
-    def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray):
+    def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                 training: bool = False):
         """Args:
           feats: per-level [N, H_l, W_l, C] features.
           rois: [R, 6] (batch_idx, cx, cy, w, h, theta).
@@ -71,8 +72,11 @@ class OrientedSingleRoIExtractor:
         h = rois[:, 4] * ef_h
         rois = jnp.concatenate(
             [rois[:, :3], w[:, None], h[:, None], rois[:, 5:6]], axis=1)
+        # training keeps the pure-XLA path: the Pallas kernel's
+        # backward falls back to the XLA vjp anyway (which re-runs the
+        # XLA forward), so pallas-in-training would only add work
         use_pallas = (self.impl == "pallas"
-                      or (self.impl == "auto"
+                      or (self.impl == "auto" and not training
                           and jax.default_backend() == "tpu"))
         if use_pallas:
             return roi_align_rotated_pyramid_pallas(

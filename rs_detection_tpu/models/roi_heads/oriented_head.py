@@ -87,9 +87,10 @@ class OrientedHead(nn.Module):
         self.fc_reg = nn.Dense(out_reg,
                                kernel_init=nn.initializers.normal(0.001))
 
-    def forward_rois(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray):
+    def forward_rois(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                     training: bool = False):
         """rois [R, 6] -> (cls_score [R, C+1], bbox_pred [R, reg])."""
-        x = self._extractor(feats, rois)               # [R, P, P, C]
+        x = self._extractor(feats, rois, training=training)  # [R,P,P,C]
         x = x.reshape(x.shape[0], -1)
         for fc in self.shared_fcs:
             x = nn.relu(fc(x))
@@ -168,7 +169,8 @@ class OrientedHead(nn.Module):
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), s)
         rois = jnp.concatenate(
             [batch_idx[:, None], sampled["rois"].reshape(b * s, 5)], 1)
-        cls_score, bbox_pred = self.forward_rois(feats, rois)
+        cls_score, bbox_pred = self.forward_rois(feats, rois,
+                                                 training=True)
 
         labels = sampled["labels"].reshape(-1)
         label_weights = sampled["label_weights"].reshape(-1)
