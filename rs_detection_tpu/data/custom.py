@@ -98,23 +98,40 @@ class CustomDataset:
         return self.transforms(image, target)
 
     def batches(self, seed: Optional[int] = None) -> Iterator:
-        """Yield (images, targets, metas) batches for one epoch."""
+        """Yield (images, targets, metas) batches for one epoch.
+
+        ``num_workers > 0`` decodes/transforms the batch's samples on a
+        thread pool (the reference's multi-worker loader analogue —
+        PIL jpeg decode and the numpy transform pipeline release the
+        GIL, so threads scale here without fork overhead)."""
         order = np.arange(self.total_len)
         if self.shuffle:
             np.random.RandomState(seed).shuffle(order)
         nb = self.total_len // self.batch_size if self.drop_last \
             else -(-self.total_len // self.batch_size)
-        for b in range(nb):
-            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            if len(idxs) == 0:
-                break
-            samples, metas = [], []
-            for i in idxs:
-                img, tgt = self[int(i)]
-                samples.append((np.asarray(img, np.float32), tgt))
-                metas.append(tgt)
-            images, targets = collate_batch(samples, self.max_gt)
-            yield images, targets, metas
+        pool = None
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            for b in range(nb):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if len(idxs) == 0:
+                    break
+                if pool is not None:
+                    items = list(pool.map(
+                        lambda i: self[int(i)], idxs))
+                else:
+                    items = [self[int(i)] for i in idxs]
+                samples, metas = [], []
+                for img, tgt in items:
+                    samples.append((np.asarray(img, np.float32), tgt))
+                    metas.append(tgt)
+                images, targets = collate_batch(samples, self.max_gt)
+                yield images, targets, metas
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def prefetch(self, seed=None, depth: int = 2) -> Iterator:
         """Background-thread prefetching wrapper around ``batches``."""

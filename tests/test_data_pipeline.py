@@ -106,6 +106,14 @@ class TestDatasetAndEval:
         assert targets["gt_mask"].any()
         assert (targets["labels"][targets["gt_mask"]] > 0).all()
 
+        # multi-worker decode path yields identical batches
+        ds.num_workers = 4
+        images_w, targets_w, _ = next(iter(ds.batches()))
+        np.testing.assert_allclose(np.asarray(images_w),
+                                   np.asarray(images))
+        np.testing.assert_allclose(np.asarray(targets_w["rboxes"]),
+                                   np.asarray(targets["rboxes"]))
+
     def test_eval_perfect_detections(self, synthetic_scene, tmp_path):
         out = process(synthetic_scene, str(tmp_path / "tiles"),
                       gap=100, subsize=320, rates=[1.0], num_process=1)
