@@ -157,21 +157,28 @@ class VAN(nn.Module):
     depths: Sequence[int] = (3, 5, 27, 3)
     drop_path_rate: float = 0.0
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    # rematerialize each block in the backward pass: without this the
+    # 38 blocks' saved activations (incl. 4x/8x-hidden MLP tensors) far
+    # exceed HBM at 1024^2 training batches — remat trades ~1/3 extra
+    # forward FLOPs for per-block activation memory
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         cur = 0
         outs = []
+        block_cls = (nn.remat(VANBlock, static_argnums=(2,))
+                     if self.remat and train else VANBlock)
         for i, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
             x = OverlapPatchEmbed(dim,
                                   patch=7 if i == 0 else 3,
                                   stride=4 if i == 0 else 2,
                                   name=f"patch_embed{i+1}")(x, train)
             for j in range(depth):
-                x = VANBlock(dim, self.mlp_ratios[i],
-                             float(dpr[cur + j]),
-                             name=f"block{i+1}_{j}")(x, train)
+                x = block_cls(dim, self.mlp_ratios[i],
+                              float(dpr[cur + j]),
+                              name=f"block{i+1}_{j}")(x, train)
             cur += depth
             # per-stage LayerNorm over channels (token-LN equivalent)
             x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
