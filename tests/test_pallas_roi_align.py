@@ -122,3 +122,46 @@ def test_bf16_features():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=0.05, atol=0.05)
+
+
+def test_shard_map_composition():
+    """The kernel composes with data-parallel shard_map (the
+    multi-chip eval path): sharded output == the single-device result
+    on the virtual 8-device mesh."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.RandomState(7)
+    n_dev = 8
+    feats = _pyramid(rng, n=n_dev, c=16, base=64)
+    r_per = 4
+    rois_list = []
+    for d in range(n_dev):
+        r = np.array(_rand_rois(rng, r_per, 1, img=256, tier_a_only=True))
+        r[:, 0] = d   # batch index = device-local image
+        rois_list.append(r)
+    rois = jnp.asarray(np.concatenate(rois_list, 0))
+
+    ref = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.0,
+        interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+
+    def local(feats, rois):
+        # rois carry global batch indices; remap to the shard's frame
+        # (one image per shard here)
+        rois = rois.at[:, 0].set(0.0)
+        return roi_align_rotated_pyramid_pallas(
+            list(feats), rois, 7, strides=STRIDES, fallback_frac=0.0,
+            interpret=True)
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_rep=False)
+    with mesh:
+        got = jax.jit(mapped)(tuple(feats), rois)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
