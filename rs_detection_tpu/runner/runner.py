@@ -187,14 +187,18 @@ class Runner:
 
     def run(self):
         self.logger.print_log({"msg": "start running"})
+        saved_epoch = validated_epoch = -1
         while not self.finish:
             self.train()
             if check_interval(self.epoch - 1, self.eval_interval):
                 self.val()
+                validated_epoch = self.epoch
             if check_interval(self.epoch - 1, self.checkpoint_interval):
                 self.save()
-        self.save()
-        if self.val_dataset is not None:
+                saved_epoch = self.epoch
+        if saved_epoch != self.epoch:
+            self.save()
+        if self.val_dataset is not None and validated_epoch != self.epoch:
             self.val()
 
     def train(self):
