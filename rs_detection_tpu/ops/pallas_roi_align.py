@@ -372,7 +372,8 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
     pooled = _pallas_pool(a, meta1, meta2, fp, rb, interpret)  # [R,PP,Cp]
     pooled = pooled[..., :c]
 
-    n_fb = min(r, max(rb, int(round(r * fallback_frac))))
+    n_fb = 0 if fallback_frac <= 0 else \
+        min(r, max(rb, int(round(r * fallback_frac))))
     if n_fb:
         tail = ros[r - n_fb:]
         fb = roi_align_rotated_pyramid(
