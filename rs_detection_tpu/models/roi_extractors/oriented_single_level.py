@@ -17,6 +17,7 @@ zero-grad trick becomes unnecessary). Also provides the horizontal
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -38,7 +39,16 @@ def map_roi_levels(scale: jnp.ndarray, num_levels: int,
 class OrientedSingleRoIExtractor:
     def __init__(self, roi_layer=None, out_channels=256,
                  featmap_strides=(4, 8, 16, 32), extend_factor=(1.0, 1.0),
-                 finest_scale=56, impl="auto", fallback_frac=0.125):
+                 finest_scale=56, impl="auto", fallback_frac=None,
+                 big_frac=None):
+        if fallback_frac is None:
+            fallback_frac = float(os.environ.get(
+                "RS_ROI_FALLBACK_FRAC", 0.125))
+        if big_frac is None:
+            # measured negative at C=256 (dense-A work scales with
+            # window area; the gather fallback scales with samples) —
+            # kept available for narrow-channel configs
+            big_frac = float(os.environ.get("RS_ROI_BIG_FRAC", 0.0))
         roi_layer = roi_layer or {}
         self.output_size = roi_layer.get("output_size", 7)
         self.sampling_ratio = max(int(roi_layer.get("sampling_ratio", 2)), 1)
@@ -51,6 +61,7 @@ class OrientedSingleRoIExtractor:
         # 'pallas' force a path
         self.impl = impl
         self.fallback_frac = fallback_frac
+        self.big_frac = big_frac
 
     @property
     def num_inputs(self):
@@ -84,7 +95,8 @@ class OrientedSingleRoIExtractor:
                 strides=tuple(self.featmap_strides),
                 sampling_ratio=self.sampling_ratio,
                 finest_scale=float(self.finest_scale),
-                fallback_frac=self.fallback_frac)
+                fallback_frac=self.fallback_frac,
+                big_frac=self.big_frac)
         # one gather over the flattened pyramid — each roi sampled only
         # at its own level (see ops/roi_align.py)
         return roi_align_rotated_pyramid(

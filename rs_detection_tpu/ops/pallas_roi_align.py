@@ -59,6 +59,13 @@ _EXTENT = 30.0
 # VMEM slice tile-aligned). The surrounding ring holds stale-but-
 # finite data with zero A-weight (scratch is zeroed at program 0), so
 # numerics are unchanged — only DMA bytes drop (786 KB -> 393 KB).
+# Big-window tier for long-aspect rois (per-axis extent <= 62): one
+# [64, 96, C] DMA per roi (rb=1, ~3.1 MB) replaces the XLA gather
+# fallback for all but degenerate hairline boxes.
+BWIN_H = 64
+BWIN_W = 96
+_B_EXT = 62.0
+
 SWIN_H = 24
 SWIN_W = 32
 S_OFF_Y = 4
@@ -71,10 +78,16 @@ _S_EXT_Y = 22.0
 import os
 
 _DEBUG = os.environ.get("RS_PALLAS_ROI_DEBUG", "")   # "nodma"|"nomatmul"
+# window buffer slots (prefetch depth = slots - 1); 2 = classic double
+# buffering
+_NSLOTS = max(2, int(os.environ.get("RS_ROI_SLOTS", "2")))
 
 
 def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
-                 rb: int):
+                 rb: int, win_h: int, win_w: int, x_align: int,
+                 sub=None):
+    # sub = (swin_h, swin_w, off_y, off_x, sx_align) enables the
+    # small-roi half-size DMA path; None disables it
     feat_refs = rest[:num_levels]
     out_ref = rest[num_levels]
     win = rest[num_levels + 1]
@@ -96,30 +109,33 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
             for level in range(num_levels):
                 @pl.when((lvl == level) & (small == 0))
                 def _(level=level):
-                    # x origins are snapped to X_ALIGN on the host
+                    # x origins are snapped to x_align on the host
                     # side; the hint lets Mosaic prove the HBM slice
                     # is tile-aligned in W
                     pltpu.make_async_copy(
                         feat_refs[level].at[
-                            b, pl.ds(y0, WIN_H),
-                            pl.ds(pl.multiple_of(x0, X_ALIGN), WIN_W),
+                            b, pl.ds(y0, win_h),
+                            pl.ds(pl.multiple_of(x0, x_align), win_w),
                             :],
                         win.at[slot, k],
                         sems.at[slot, k]).start()
 
-                @pl.when((lvl == level) & (small == 1))
-                def _(level=level):
-                    pltpu.make_async_copy(
-                        feat_refs[level].at[
-                            b, pl.ds(y0, SWIN_H),
-                            pl.ds(pl.multiple_of(x0, SX_ALIGN), SWIN_W),
-                            :],
-                        win.at[slot, k, pl.ds(S_OFF_Y, SWIN_H),
-                               pl.ds(S_OFF_X, SWIN_W), :],
-                        sems.at[slot, k]).start()
+                if sub is not None:
+                    swin_h, swin_w, off_y, off_x, sx_align = sub
 
-    slot = jax.lax.rem(i, 2)
-    nslot = jax.lax.rem(i + 1, 2)
+                    @pl.when((lvl == level) & (small == 1))
+                    def _(level=level):
+                        pltpu.make_async_copy(
+                            feat_refs[level].at[
+                                b, pl.ds(y0, swin_h),
+                                pl.ds(pl.multiple_of(x0, sx_align),
+                                      swin_w), :],
+                            win.at[slot, k, pl.ds(off_y, swin_h),
+                                   pl.ds(off_x, swin_w), :],
+                            sems.at[slot, k]).start()
+
+    warm = _NSLOTS - 1
+    slot = jax.lax.rem(i, _NSLOTS)
 
     if _DEBUG != "nodma":
         @pl.when(i == 0)
@@ -127,11 +143,14 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
             # small-tier DMAs leave a ring of the window untouched;
             # it carries zero A-weight but must be finite
             win[...] = jnp.zeros(win.shape, win.dtype)
-            issue(0, 0)
+            for p in range(warm):
+                @pl.when(p < nprog)
+                def _(p=p):
+                    issue(p, p % _NSLOTS)
 
-        @pl.when(i + 1 < nprog)
+        @pl.when(i + warm < nprog)
         def _():
-            issue(i + 1, nslot)
+            issue(i + warm, jax.lax.rem(i + warm, _NSLOTS))
 
     for k in range(rb):
         if _DEBUG != "nodma":
@@ -143,21 +162,24 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
             @pl.when(small == 0)
             def _():
                 pltpu.make_async_copy(
-                    feat_refs[0].at[0, pl.ds(0, WIN_H),
-                                    pl.ds(0, WIN_W), :],
+                    feat_refs[0].at[0, pl.ds(0, win_h),
+                                    pl.ds(0, win_w), :],
                     win.at[slot, k],
                     sems.at[slot, k]).wait()
 
-            @pl.when(small == 1)
-            def _():
-                pltpu.make_async_copy(
-                    feat_refs[0].at[0, pl.ds(0, SWIN_H),
-                                    pl.ds(0, SWIN_W), :],
-                    win.at[slot, k, pl.ds(S_OFF_Y, SWIN_H),
-                           pl.ds(S_OFF_X, SWIN_W), :],
-                    sems.at[slot, k]).wait()
+            if sub is not None:
+                swin_h, swin_w, off_y, off_x, _sxa = sub
+
+                @pl.when(small == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_refs[0].at[0, pl.ds(0, swin_h),
+                                        pl.ds(0, swin_w), :],
+                        win.at[slot, k, pl.ds(off_y, swin_h),
+                               pl.ds(off_x, swin_w), :],
+                        sems.at[slot, k]).wait()
         a = a_ref[k]                                     # [PP, AREA]
-        w = win[slot, k].reshape(WIN_H * WIN_W, -1)      # [AREA, C]
+        w = win[slot, k].reshape(win_h * win_w, -1)      # [AREA, C]
         if _DEBUG == "nomatmul":
             pooled = (w[:49] * a[:, :1].astype(w.dtype)).astype(
                 jnp.float32)
@@ -167,9 +189,13 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
         out_ref[k] = pooled.astype(out_ref.dtype)
 
 
-def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool):
+def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool,
+                 win_h: int = WIN_H, win_w: int = WIN_W,
+                 x_align: int = X_ALIGN, sub="std"):
     """a: [R, PP, AREA]; meta*: [R] int32; feats: padded per-level
     [N, Hp, Wp, Cp]. Returns [R, PP, Cp] in feats dtype."""
+    if sub == "std":
+        sub = (SWIN_H, SWIN_W, S_OFF_Y, S_OFF_X, SX_ALIGN)
     num_levels = len(feats)
     r, pp, area = a.shape
     cp = feats[0].shape[-1]
@@ -184,16 +210,18 @@ def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool):
         out_specs=pl.BlockSpec((rb, pp, cp), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rb, WIN_H, WIN_W, cp), dt),
-            pltpu.SemaphoreType.DMA((2, rb)),
+            pltpu.VMEM((_NSLOTS, rb, win_h, win_w, cp), dt),
+            pltpu.SemaphoreType.DMA((_NSLOTS, rb)),
         ],
     )
     itemsize = jnp.dtype(dt).itemsize
-    win_bytes = 2 * rb * WIN_H * WIN_W * cp * itemsize
+    win_bytes = _NSLOTS * rb * win_h * win_w * cp * itemsize
     a_bytes = 2 * rb * pp * area * itemsize
     out_bytes = 2 * rb * pp * cp * 4
     return pl.pallas_call(
-        functools.partial(_pool_kernel, num_levels=num_levels, rb=rb),
+        functools.partial(_pool_kernel, num_levels=num_levels, rb=rb,
+                          win_h=win_h, win_w=win_w, x_align=x_align,
+                          sub=sub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, pp, cp), dt),
         compiler_params=pltpu.CompilerParams(
@@ -244,10 +272,10 @@ def _sample_coords(rois, lvl, strides, h_tab, w_tab, p: int, s: int):
     return x, y, live, (cx, cy, rw, rh, ct[:, 0, 0], st[:, 0, 0])
 
 
-def _pad_level(f):
+def _pad_level(f, min_h: int = WIN_H, min_w: int = WIN_W):
     n, h, w, c = f.shape
-    hp = max(WIN_H, h)
-    wp = max(WIN_W, w)
+    hp = max(min_h, h)
+    wp = max(min_w, w)
     wp = wp + (-wp) % X_ALIGN
     cpad = (-c) % 128
     if (hp, wp, c + cpad) == (h, w, c):
@@ -255,16 +283,39 @@ def _pad_level(f):
     return jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, cpad)))
 
 
-def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int):
-    """Sort rois (tier A first), compute window meta + the dense
-    interpolation matrix A. Returns (a, meta1, meta2, padded feats,
-    sorted rois, inverse permutation)."""
+def _build_a(sx, sy, win_h: int, win_w: int, s: int, dt):
+    """Dense interpolation matrix A[r, bin, py*win_w+px] =
+    (1/s^2) sum_j relu(1-|sy_j-py|) * relu(1-|sx_j-px|), from
+    window-relative bin-major sample coords [R, PP, s*s]. Written as
+    an explicit j-sum of broadcast products so XLA fuses it into one
+    elementwise pass over the output (an einsum here lowers to R*P*P
+    tiny K=s^2 batched matmuls — measured far slower)."""
+    py = jnp.arange(win_h, dtype=jnp.float32)
+    px = jnp.arange(win_w, dtype=jnp.float32)
+    a = None
+    for j in range(s * s):
+        wy = jax.nn.relu(1.0 - jnp.abs(sy[:, :, j, None] - py))
+        wx = jax.nn.relu(1.0 - jnp.abs(sx[:, :, j, None] - px))
+        term = wy[:, :, :, None] * wx[:, :, None, :]
+        a = term if a is None else a + term
+    r, pp = sx.shape[0], sx.shape[1]
+    return (a * (1.0 / (s * s))).astype(dt).reshape(r, pp,
+                                                    win_h * win_w)
+
+
+def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
+             pad_min=(WIN_H, WIN_W)):
+    """Sort rois (std-window tier first, then big-window, then
+    fallback), compute window meta + the dense interpolation matrix A.
+    Returns (a, meta1, meta2, padded feats, sorted rois, sorted
+    levels, inverse permutation)."""
     num_levels = len(strides)
     r = rois_f.shape[0]
 
     h_tab = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
     w_tab = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
-    fp = [_pad_level(f) for f in feats]
+    fp = [_pad_level(f, min_h=pad_min[0], min_w=pad_min[1])
+          for f in feats]
     hp_tab = jnp.asarray([f.shape[1] for f in fp], jnp.int32)
     wp_tab = jnp.asarray([f.shape[2] for f in fp], jnp.int32)
 
@@ -282,14 +333,15 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int):
     ast = jnp.abs(jnp.sin(rois_f[:, 5]))
     ext_x = rw * act + rh * ast
     ext_y = rw * ast + rh * act
-    tier_b = (ext_x > _EXTENT) | (ext_y > _EXTENT)
+    tier = jnp.where((ext_x > _EXTENT) | (ext_y > _EXTENT), 1, 0)
+    tier = jnp.where((ext_x > _B_EXT) | (ext_y > _B_EXT), 2, tier)
 
     # sort: tier A first; within a tier, by (batch, level, y, x) for
     # window DMA locality
     cxi = jnp.clip((rois_f[:, 1] * inv_stride).astype(jnp.int32), 0, 8191)
     cyi = jnp.clip((rois_f[:, 2] * inv_stride).astype(jnp.int32), 0, 8191)
     b_i = jnp.clip(rois_f[:, 0].astype(jnp.int32), 0, 255)
-    key = (tier_b.astype(jnp.int32) << 27) \
+    key = (tier << 27) \
         + ((b_i * num_levels + lvl) << 18) + ((cyi >> 3) << 9) + (cxi >> 3)
     order = jnp.argsort(key)
     inv_order = jnp.zeros_like(order).at[order].set(
@@ -323,38 +375,23 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int):
     # dead samples get weight 0 everywhere via an off-grid coordinate
     sx = jnp.where(live, sx, -10.0)
 
-    # dense interpolation matrix: A[r, bin, py*WIN_W+px] =
-    #   (1/s^2) sum_j relu(1-|sy_j-py|) * relu(1-|sx_j-px|).
-    # Written as an explicit j-sum of broadcast products so XLA fuses
-    # it into one elementwise pass over the output (an einsum here
-    # lowers to R*P*P tiny K=s^2 batched matmuls — measured far
-    # slower).
-    py = jnp.arange(WIN_H, dtype=jnp.float32)
-    px = jnp.arange(WIN_W, dtype=jnp.float32)
-    dt = feats[0].dtype
-    a = None
-    for j in range(s * s):
-        wy = jax.nn.relu(1.0 - jnp.abs(sy[:, :, j, None] - py))
-        wx = jax.nn.relu(1.0 - jnp.abs(sx[:, :, j, None] - px))
-        term = wy[:, :, :, None] * wx[:, :, None, :]   # [R,PP,WH,WW]
-        a = term if a is None else a + term
-    a = (a * (1.0 / (s * s))).astype(dt)
-    a = a.reshape(r, p * p, WIN_H * WIN_W)
+    a = _build_a(sx, sy, WIN_H, WIN_W, s, feats[0].dtype)
 
     b_idx = jnp.clip(ros[:, 0].astype(jnp.int32), 0, fp[0].shape[0] - 1)
     meta1 = (b_idx * num_levels + lvl) * 2 + small
     meta2 = y0_dma * 8192 + x0_dma
-    return a, meta1, meta2, fp, ros, inv_order
+    return a, meta1, meta2, fp, ros, lvl, inv_order
 
 
 @functools.partial(
     jax.jit, static_argnames=("output_size", "strides", "sampling_ratio",
                               "finest_scale", "fallback_frac",
-                              "rois_per_program", "interpret"))
+                              "rois_per_program", "interpret",
+                              "big_frac"))
 def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
                          sampling_ratio: int, finest_scale: float,
                          fallback_frac: float, rois_per_program: int,
-                         interpret: bool):
+                         interpret: bool, big_frac: float = 0.0):
     p, s = output_size, sampling_ratio
     num_levels = len(strides)
     feats = list(feats)[:num_levels]
@@ -366,10 +403,45 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
     if r != r0:
         rois_f = jnp.pad(rois_f, ((0, r - r0), (0, 0)))
 
-    a, meta1, meta2, fp, ros, inv_order = _prepare(
-        feats, rois_f, strides, finest_scale, p, s)
+    n_big = 0 if big_frac <= 0 else min(r, int(round(r * big_frac)))
+    pad_min = (BWIN_H, BWIN_W) if n_big else (WIN_H, WIN_W)
+    a, meta1, meta2, fp, ros, lvl_s, inv_order = _prepare(
+        feats, rois_f, strides, finest_scale, p, s, pad_min=pad_min)
 
     pooled = _pallas_pool(a, meta1, meta2, fp, rb, interpret)  # [R,PP,Cp]
+
+    if n_big:
+        # big-window pass over the sorted suffix: exact for tier-1
+        # (long-aspect) rois; recomputes any tier-0 rois in the
+        # suffix identically
+        ros_b = ros[r - n_big:]
+        lvl_b = lvl_s[r - n_big:]
+        h_tab = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+        w_tab = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
+        hp_tab = jnp.asarray([f.shape[1] for f in fp], jnp.int32)
+        wp_tab = jnp.asarray([f.shape[2] for f in fp], jnp.int32)
+        x, y, live, (cx, cy, _, _, _, _) = _sample_coords(
+            ros_b, lvl_b, strides, h_tab, w_tab, p, s)
+        y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32) - (BWIN_H // 2 - 1),
+                      0, hp_tab[lvl_b] - BWIN_H)
+        x0 = (jnp.floor(cx).astype(jnp.int32) - (BWIN_H // 2 - 1)) \
+            // X_ALIGN * X_ALIGN
+        x0 = jnp.clip(x0, 0, wp_tab[lvl_b] - BWIN_W)
+        sx = jnp.clip(x - x0[:, None, None].astype(x.dtype), 0.0,
+                      BWIN_W - 1.0)
+        sy = jnp.clip(y - y0[:, None, None].astype(y.dtype), 0.0,
+                      BWIN_H - 1.0)
+        sx = jnp.where(live, sx, -10.0)
+        a_b = _build_a(sx, sy, BWIN_H, BWIN_W, s, fp[0].dtype)
+        b_idx = jnp.clip(ros_b[:, 0].astype(jnp.int32), 0,
+                         fp[0].shape[0] - 1)
+        meta1_b = (b_idx * num_levels + lvl_b) * 2
+        meta2_b = y0 * 8192 + x0
+        pooled_b = _pallas_pool(
+            a_b, meta1_b, meta2_b, fp, 1, interpret,
+            win_h=BWIN_H, win_w=BWIN_W, x_align=X_ALIGN, sub=None)
+        pooled = pooled.at[r - n_big:].set(pooled_b)
+
     pooled = pooled[..., :c]
 
     n_fb = 0 if fallback_frac <= 0 else \
@@ -388,32 +460,37 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+    nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def roi_align_rotated_pyramid_pallas(feats, rois, output_size: int = 7,
                                      strides=(4, 8, 16, 32),
                                      sampling_ratio: int = 2,
                                      finest_scale: float = 56.0,
-                                     fallback_frac: float = 0.25,
+                                     fallback_frac: float = 0.125,
                                      rois_per_program: int = 4,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     big_frac: float = 0.0):
     """Drop-in replacement for ``roi_align_rotated_pyramid`` (same
     args/semantics) with a Pallas window+MXU forward; the backward pass
     reuses the XLA gather path's autodiff."""
     return _pyramid_pallas_impl(
         list(feats), rois, output_size, tuple(strides), sampling_ratio,
-        finest_scale, fallback_frac, rois_per_program, interpret)
+        finest_scale, fallback_frac, rois_per_program, interpret,
+        big_frac=big_frac)
 
 
 def _pallas_fwd(feats, rois, output_size, strides, sampling_ratio,
-                finest_scale, fallback_frac, rois_per_program, interpret):
+                finest_scale, fallback_frac, rois_per_program, interpret,
+                big_frac):
     out = _pyramid_pallas_impl(
         list(feats), rois, output_size, tuple(strides), sampling_ratio,
-        finest_scale, fallback_frac, rois_per_program, interpret)
+        finest_scale, fallback_frac, rois_per_program, interpret,
+        big_frac=big_frac)
     return out, (list(feats), rois)
 
 
 def _pallas_bwd(output_size, strides, sampling_ratio, finest_scale,
-                fallback_frac, rois_per_program, interpret, res, g):
+                fallback_frac, rois_per_program, interpret, big_frac,
+                res, g):
     feats, rois = res
     _, vjp = jax.vjp(
         lambda f, rr: roi_align_rotated_pyramid(

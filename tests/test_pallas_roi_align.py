@@ -165,3 +165,21 @@ def test_shard_map_composition():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_big_window_tier_exact():
+    """Long-aspect rois (extent 30..62 at their level) are exact via
+    the [64, 96] big-window pass with NO XLA fallback."""
+    rng = np.random.RandomState(9)
+    feats = _pyramid(rng)
+    a = _rand_rois(rng, 24, 2, tier_a_only=True)
+    big = np.array(_rand_rois(rng, 8, 2))
+    big[:, 3] = rng.uniform(250, 420, 8)   # elongated: tier-1 extents
+    big[:, 4] = rng.uniform(20, 60, 8)
+    rois = jnp.concatenate([a, jnp.asarray(big)], 0)
+    ref = roi_align_rotated_pyramid(feats, rois, 7, strides=STRIDES)
+    got = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.0,
+        big_frac=0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
