@@ -1,6 +1,6 @@
-"""Golden-loss regression entry for this project (reference
-``projects/oriented_rcnn/test_oriented_rcnn.py`` pattern): delegates to
-the shared harness in tests/test_golden_loss.py."""
+"""Regression entry for this project (reference
+``projects/oriented_rcnn/test_oriented_rcnn.py`` pattern): delegates to the shared
+pytest harness — golden-loss / smoke tests for this model family."""
 
 import os
 import subprocess
@@ -11,5 +11,6 @@ if __name__ == "__main__":
                         "..", "..")
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
-         os.path.join(root, "tests", "test_golden_loss.py"), "-x", "-q"],
+         os.path.join(root, "tests", "test_golden_loss.py"),
+         "-k", "orcnn", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))

@@ -1,6 +1,6 @@
 """Regression entry for this project (reference
 ``projects/retinanet/test_retinanet.py`` pattern): delegates to the shared
-pytest harness."""
+pytest harness — golden-loss / smoke tests for this model family."""
 
 import os
 import subprocess
@@ -11,5 +11,6 @@ if __name__ == "__main__":
                         "..", "..")
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
-         os.path.join(root, "tests", "test_single_stage_heads.py"), "-x", "-q"],
+         os.path.join(root, "tests", "test_golden_loss.py"),
+         "-k", "retinanet", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))
