@@ -26,6 +26,12 @@ def main():
 
     if args.cpu:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # persistent compilation cache: repeated CLI invocations (train ->
+    # val -> test, or resumed runs) skip the multi-minute XLA compile
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/rs_detection_tpu_jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "10")
 
     from rs_detection_tpu.config import get_cfg, init_cfg, update_cfg
     import rs_detection_tpu.models  # noqa: F401  (populate registries)
