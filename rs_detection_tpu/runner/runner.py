@@ -325,9 +325,15 @@ class Runner:
         if self.cfg.dataset and self.cfg.dataset.get("test") and \
                 self.cfg.merge_cfg is not None:
             from ..data.devkits.data_merge import data_merge_result
+            merge_kw = dict(self.cfg.merge_cfg)
+            # honor the reference's lateral config key
+            # (``result_merge.py:207-211`` reads
+            # cfg.merge_nms_threshold_type globally)
+            if self.cfg.merge_nms_threshold_type is not None:
+                merge_kw.setdefault("nms_threshold_type",
+                                    self.cfg.merge_nms_threshold_type)
             data_merge_result(save_file, self.work_dir, self.epoch,
-                              self.cfg.name or "run",
-                              **dict(self.cfg.merge_cfg))
+                              self.cfg.name or "run", **merge_kw)
         return results
 
     def run_on_images(self, image_files, save_dir=None):
