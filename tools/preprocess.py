@@ -45,7 +45,11 @@ def run(cfg):
                       gap=tcfg.get("gap", 200),
                       subsize=tcfg.get("subsize", 1024),
                       rates=tcfg.get("rates", [1.0]),
-                      num_process=tcfg.get("num_process", 8))
+                      num_process=tcfg.get("num_process", 8),
+                      # lateral key parity: the reference tiler reads
+                      # cfg.yx_style (ImgSplit_multi_process.py:191)
+                      yx_style=bool(cfg.yx_style or
+                                    tcfg.get("yx_style", False)))
         if label != "test":
             convert = (convert_data_to_mmdet_mapping
                        if cfg.get("fair1m_mapping")
