@@ -149,6 +149,8 @@ def test_all_shipped_configs_build_models():
     import glob
     import os
 
+    import rs_detection_tpu.data  # noqa: F401  (populate registries)
+    import rs_detection_tpu.models  # noqa: F401
     from rs_detection_tpu.utils.registry import MODELS, build_from_cfg
 
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
