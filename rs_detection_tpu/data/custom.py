@@ -109,29 +109,43 @@ class CustomDataset:
             np.random.RandomState(seed).shuffle(order)
         nb = self.total_len // self.batch_size if self.drop_last \
             else -(-self.total_len // self.batch_size)
-        pool = None
-        if self.num_workers > 0:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(max_workers=self.num_workers)
-        try:
-            for b in range(nb):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if len(idxs) == 0:
-                    break
-                if pool is not None:
-                    items = list(pool.map(
-                        lambda i: self[int(i)], idxs))
-                else:
-                    items = [self[int(i)] for i in idxs]
-                samples, metas = [], []
-                for img, tgt in items:
-                    samples.append((np.asarray(img, np.float32), tgt))
-                    metas.append(tgt)
-                images, targets = collate_batch(samples, self.max_gt)
-                yield images, targets, metas
-        finally:
+        # one pool per dataset, created lazily and reused across epochs
+        # — a per-epoch pool leaks idle worker threads whenever the
+        # iterator is abandoned mid-epoch (e.g. Runner.train breaking on
+        # self.finish) since generator finalization is GC-dependent
+        pool = self._worker_pool()
+        for b in range(nb):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(idxs) == 0:
+                break
             if pool is not None:
-                pool.shutdown(wait=False)
+                items = list(pool.map(
+                    lambda i: self[int(i)], idxs))
+            else:
+                items = [self[int(i)] for i in idxs]
+            samples, metas = [], []
+            for img, tgt in items:
+                samples.append((np.asarray(img, np.float32), tgt))
+                metas.append(tgt)
+            images, targets = collate_batch(samples, self.max_gt)
+            yield images, targets, metas
+
+    def _worker_pool(self):
+        if self.num_workers <= 0:
+            return None
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers)
+        return pool
+
+    def close(self):
+        """Release the worker thread pool (safe to call repeatedly)."""
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._pool = None
 
     def prefetch(self, seed=None, depth: int = 2) -> Iterator:
         """Background-thread prefetching wrapper around ``batches``."""

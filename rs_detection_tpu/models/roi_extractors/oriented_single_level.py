@@ -90,13 +90,16 @@ class OrientedSingleRoIExtractor:
                       or (self.impl == "auto" and not training
                           and jax.default_backend() == "tpu"))
         if use_pallas:
+            # forcing impl='pallas' off-TPU only makes sense in
+            # interpret mode (Mosaic won't compile for CPU/GPU)
+            interpret = jax.default_backend() != "tpu"
             return roi_align_rotated_pyramid_pallas(
                 list(feats), rois, self.output_size,
                 strides=tuple(self.featmap_strides),
                 sampling_ratio=self.sampling_ratio,
                 finest_scale=float(self.finest_scale),
                 fallback_frac=self.fallback_frac,
-                big_frac=self.big_frac)
+                big_frac=self.big_frac, interpret=interpret)
         # one gather over the flattened pyramid — each roi sampled only
         # at its own level (see ops/roi_align.py)
         return roi_align_rotated_pyramid(

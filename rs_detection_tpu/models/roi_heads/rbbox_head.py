@@ -191,7 +191,7 @@ class RoITransformerHead(nn.Module):
                                      gt_labels0, keys2)
         rois_r = jnp.concatenate(
             [batch_idx[:, None], s2["rois"].reshape(b * s, 5)], 1)
-        feats_r = self._r_extractor(feats, rois_r)
+        feats_r = self._r_extractor(feats, rois_r, training=True)
         cls2, reg2 = self.stage2(feats_r)
         pos2 = s2["pos"].reshape(-1)
         neg2 = s2["neg"].reshape(-1)

@@ -129,9 +129,32 @@ def make_eval_step(model, mesh: Optional[Mesh] = None,
                        out_shardings=batch)
 
     from jax.experimental.shard_map import shard_map
-    mapped = shard_map(
-        eval_fn, mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=P(axis_name), check_rep=False)
-    return jax.jit(mapped, in_shardings=(replicated, batch, batch),
-                   out_shardings=batch)
+
+    # shard_map specs are per-leaf and fixed at trace time; targets may
+    # carry non-batched leaves (scalars, per-run metadata) that must be
+    # replicated rather than split. Build the specs lazily from the
+    # actual targets structure and cache per (treedef, batched-mask).
+    cache: dict = {}
+
+    def call(variables, images, targets):
+        bs = images.shape[0]
+        leaves, treedef = jax.tree_util.tree_flatten(targets)
+        batched = tuple(
+            getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == bs
+            for leaf in leaves)
+        key = (treedef, batched)
+        if key not in cache:
+            t_specs = jax.tree_util.tree_unflatten(
+                treedef, [P(axis_name) if b else P() for b in batched])
+            t_shard = jax.tree_util.tree_unflatten(
+                treedef, [batch if b else replicated for b in batched])
+            mapped = shard_map(
+                eval_fn, mesh=mesh,
+                in_specs=(P(), P(axis_name), t_specs),
+                out_specs=P(axis_name), check_rep=False)
+            cache[key] = jax.jit(
+                mapped, in_shardings=(replicated, batch, t_shard),
+                out_shardings=batch)
+        return cache[key](variables, images, targets)
+
+    return call

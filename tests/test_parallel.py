@@ -192,3 +192,38 @@ class TestShardMapEval:
                                        np.asarray(out_1[k]), atol=1e-6)
             np.testing.assert_allclose(np.asarray(out_gspmd[k]),
                                        np.asarray(out_1[k]), atol=1e-6)
+
+    def test_shard_map_eval_tolerates_unbatched_target_leaves(self):
+        """Targets with scalar / non-batch leaves must be replicated,
+        not sliced, under the shard_map eval path."""
+        from flax import linen as nn
+
+        from rs_detection_tpu.parallel.train_step import (create_mesh,
+                                                          make_eval_step)
+
+        class Toy(nn.Module):
+            def setup(self):
+                self.dense = nn.Dense(4)
+
+            def __call__(self, images, targets=None, train=False):
+                return self.dense(images)
+
+            def predict(self, images, targets=None):
+                scale = targets["global_scale"]
+                return {"det": self.dense(images) * scale}
+
+        model = Toy()
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(16, 8).astype(np.float32))
+        targets = {"img_hw": jnp.ones((16, 2), np.float32),
+                   "global_scale": jnp.asarray(2.0)}
+        variables = model.init({"params": jax.random.PRNGKey(0)}, images,
+                               targets)
+
+        mesh = create_mesh(8)
+        with mesh:
+            out_sm = make_eval_step(model, mesh, use_shard_map=True)(
+                variables, images, targets)
+        out_1 = make_eval_step(model)(variables, images, targets)
+        np.testing.assert_allclose(np.asarray(out_sm["det"]),
+                                   np.asarray(out_1["det"]), atol=1e-6)
