@@ -144,10 +144,22 @@ class Runner:
                                            self._pending_variables)
             self._pending_variables = None
         self.state = create_train_state(self.model, variables, self.tx)
+        # resume: restore optimizer state (momentum, optax step count —
+        # which drives the LR schedule) and the train-step counter; the
+        # reference restores optimizer params too (runner.py:272-293)
+        if self._pending_opt_state is not None:
+            self.state = self.state._replace(
+                opt_state=serialization.from_state_dict(
+                    self.state.opt_state, self._pending_opt_state))
+            self._pending_opt_state = None
+        if self.iter:
+            self.state = self.state._replace(
+                step=jnp.asarray(self.iter, jnp.int32))
         self._train_step = make_train_step(self.model, self.tx,
                                            mesh=self.mesh)
 
     _pending_variables = None
+    _pending_opt_state = None
 
     def _ensure_state(self):
         """Initialize model state for eval/test-only sessions (no
@@ -256,8 +268,26 @@ class Runner:
     # ------------------------------------------------------------------
 
     def _get_eval_step(self):
+        """Multi-device eval when the batch divides the mesh (shard_map
+        so the Pallas RoIAlign path stays per-chip instead of being
+        GSPMD-replicated — parallel/train_step.py:make_eval_step), with
+        a single-device fallback for indivisible batches."""
         if self._eval_step is None:
-            self._eval_step = make_eval_step(self.model, mesh=None)
+            single = make_eval_step(self.model, mesh=None)
+            if self.mesh.size > 1:
+                sharded = make_eval_step(self.model, mesh=self.mesh,
+                                         use_shard_map=True)
+                mesh = self.mesh
+
+                def step(variables, images, targets):
+                    if images.shape[0] % mesh.size == 0:
+                        with mesh:
+                            return sharded(variables, images, targets)
+                    return single(variables, images, targets)
+
+                self._eval_step = step
+            else:
+                self._eval_step = single
         return self._eval_step
 
     def _variables(self):
@@ -384,6 +414,7 @@ class Runner:
         data = dict(
             meta=dict(epoch=self.epoch, iter=self.iter,
                       max_epoch=self.max_epoch,
+                      swa_active=self._swa_active,
                       save_time=time.time(),
                       config=self.cfg.dump()),
             model=serialization.to_state_dict(
@@ -433,4 +464,10 @@ class Runner:
         if not model_only and meta:
             self.epoch = int(meta.get("epoch", 0))
             self.iter = int(meta.get("iter", 0))
+            self._pending_opt_state = data.get("opt_state")
+            # resuming inside the SWA phase: adopt the SWA optimizer up
+            # front so train() doesn't re-init and zero the loaded state
+            if meta.get("swa_active") and self.tx_swa is not None:
+                self._swa_active = True
+                self.tx = self.tx_swa
         self.logger.print_log({"msg": f"loaded {path}"})

@@ -124,6 +124,133 @@ def test_runner_end_to_end(tmp_path):
     np.testing.assert_allclose(np.asarray(leaf), np.asarray(before))
 
 
+def _tiny_cfg(ds_dir, work_dir, max_iter, shuffle=False):
+    return dict(
+        name="resume_eq",
+        work_dir=work_dir,
+        max_epoch=10,
+        max_iter=max_iter,
+        log_interval=100,
+        checkpoint_interval=1,
+        seed=3,
+        model=dict(
+            type="OrientedRCNN",
+            backbone=dict(type="Resnet18", norm_eval=False),
+            neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                      out_channels=32, num_outs=5),
+            rpn=dict(type="OrientedRPNHead", in_channels=32,
+                     feat_channels=32, nms_pre=64, nms_post=32,
+                     pre_nms_cap=128,
+                     sampler=dict(type="RandomSampler", num=32,
+                                  pos_fraction=0.5)),
+            bbox_head=dict(
+                type="OrientedHead", num_classes=15, in_channels=32,
+                fc_out_channels=64,
+                sampler=dict(type="RandomSamplerRotated", num=16,
+                             pos_fraction=0.25),
+                bbox_roi_extractor=dict(
+                    type="OrientedSingleRoIExtractor",
+                    roi_layer=dict(type="ROIAlignRotated_v1",
+                                   output_size=7, sampling_ratio=2),
+                    out_channels=32, extend_factor=(1.4, 1.2),
+                    featmap_strides=[4, 8, 16, 32]))),
+        dataset=dict(
+            train=dict(type="DOTADataset", dataset_dir=ds_dir,
+                       batch_size=2, max_gt=8, shuffle=shuffle,
+                       filter_empty_gt=False,
+                       transforms=[
+                           dict(type="RotatedResize", min_size=128,
+                                max_size=128),
+                           dict(type="Normalize",
+                                mean=[123.675, 116.28, 103.53],
+                                std=[58.395, 57.12, 57.375],
+                                to_bgr=False)])),
+        # momentum + per-step warmup so both optimizer slots and the
+        # schedule position must survive the save/load round-trip
+        optimizer=dict(type="SGD", lr=0.01, momentum=0.9,
+                       grad_clip=dict(max_norm=35)),
+        scheduler=dict(type="StepLR", warmup="linear", warmup_iters=4,
+                       warmup_ratio=0.25, milestones=[8]),
+    )
+
+
+@pytest.mark.slow
+def test_runner_resume_equivalence(tmp_path):
+    """4 straight steps == 2 steps + save + resume + 2 steps: resume
+    must restore optimizer momentum and the schedule position
+    (reference runner.py:272-293 restores both)."""
+    import jax
+    import rs_detection_tpu.data  # noqa: F401
+    import rs_detection_tpu.models  # noqa: F401
+    from rs_detection_tpu.config import get_cfg
+    from rs_detection_tpu.runner.runner import Runner
+
+    ds_dir = make_dataset(str(tmp_path / "ds"))
+
+    cfg = get_cfg()
+    cfg.clear()
+    cfg.update(_tiny_cfg(ds_dir, str(tmp_path / "wA"), max_iter=4))
+    run_a = Runner()
+    run_a.run()
+    assert run_a.iter == 4
+    params_a = jax.tree_util.tree_leaves(run_a.state.params)
+
+    cfg.clear()
+    cfg.update(_tiny_cfg(ds_dir, str(tmp_path / "wB"), max_iter=2))
+    run_b1 = Runner()
+    run_b1.run()
+    assert run_b1.iter == 2
+
+    cfg.clear()
+    cfg.update(_tiny_cfg(ds_dir, str(tmp_path / "wB"), max_iter=4))
+    run_b2 = Runner()  # auto-resumes from wB's checkpoint
+    assert run_b2.iter == 2
+    run_b2.run()
+    assert run_b2.iter == 4
+    # optax step count must have been restored, not restarted
+    import optax
+
+    count = optax.tree_utils.tree_get(run_b2.state.opt_state, "count")
+    assert int(count) == 4
+    params_b = jax.tree_util.tree_leaves(run_b2.state.params)
+    for a, b in zip(params_a, params_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_runner_sharded_eval_matches_single(tmp_path):
+    """Engine-level: the Runner's mesh eval step == single-device eval
+    for the real (tiny) flagship, on the virtual CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+    import rs_detection_tpu.data  # noqa: F401
+    import rs_detection_tpu.models  # noqa: F401
+    from rs_detection_tpu.config import get_cfg
+    from rs_detection_tpu.parallel.train_step import make_eval_step
+    from rs_detection_tpu.runner.runner import Runner
+
+    ds_dir = make_dataset(str(tmp_path / "ds"))
+    cfg = get_cfg()
+    cfg.clear()
+    cfg.update(_tiny_cfg(ds_dir, str(tmp_path / "w"), max_iter=1))
+    runner = Runner()
+    runner.run()
+    assert runner.mesh.size > 1, "expected a multi-device test mesh"
+
+    images, targets, _ = next(iter(runner.train_dataset.batches()))
+    images = jnp.asarray(images)
+    targets = jax.tree_util.tree_map(jnp.asarray, targets)
+    out_mesh = runner._get_eval_step()(runner._variables(), images,
+                                       targets)
+    out_single = make_eval_step(runner.model, mesh=None)(
+        runner._variables(), images, targets)
+    for k in out_single:
+        np.testing.assert_allclose(np.asarray(out_mesh[k]),
+                                   np.asarray(out_single[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_runner_test_task_submission(tmp_path, monkeypatch):
     """--task test end-to-end: tile inference -> per-class txts ->
