@@ -33,7 +33,7 @@ class ConvNeXtBlock(nn.Module):
                     dtype=x.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype)(x)
         x = nn.Dense(4 * self.dim, dtype=x.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=x.dtype)(x)
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),

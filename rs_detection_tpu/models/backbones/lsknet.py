@@ -52,7 +52,7 @@ class LSKAttention(nn.Module):
     def __call__(self, x):
         shortcut = x
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype, name="proj_1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = LSKModule(self.dim, name="spatial_gating_unit")(x)
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype, name="proj_2")(x)
         return x + shortcut

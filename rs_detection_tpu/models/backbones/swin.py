@@ -137,7 +137,7 @@ class SwinBlock(nn.Module):
                                                 deterministic=not train)
         h2 = nn.LayerNorm(name="norm2")(x)
         h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h2)
-        h2 = nn.gelu(h2)
+        h2 = nn.gelu(h2, approximate=False)
         h2 = nn.Dense(self.dim, name="fc2")(h2)
         return x + DropPath(self.drop_path)(h2, deterministic=not train)
 

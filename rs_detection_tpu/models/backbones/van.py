@@ -59,7 +59,9 @@ class SpatialAttention(nn.Module):
         shortcut = x
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
                     kernel_init=kaiming_normal_fanout(), name="proj_1")(x)
-        x = nn.gelu(x)
+        # exact (erf) gelu: jittor/torch nn.GELU semantics, not the
+        # tanh approximation — parity-relevant for converted weights
+        x = nn.gelu(x, approximate=False)
         x = LKA(self.dim, name="sgu")(x)
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
                     kernel_init=kaiming_normal_fanout(), name="proj_2")(x)

@@ -25,7 +25,7 @@ def _pair(x):
 ACTIVATIONS = {
     None: None,
     "relu": nn.relu,
-    "gelu": nn.gelu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "silu": nn.silu,
     "swish": nn.silu,
     "leaky_relu": lambda x: nn.leaky_relu(x, 0.1),

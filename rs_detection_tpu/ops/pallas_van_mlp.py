@@ -35,7 +35,7 @@ def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
         feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=h.dtype) + bdw
-    h = jax.nn.gelu(h)
+    h = jax.nn.gelu(h, approximate=False)  # erf gelu (torch/jittor)
     return jnp.einsum("nhwd,dc->nhwc", h, w2) + b2
 
 
@@ -93,7 +93,8 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
             acc = tap if acc is None else acc + tap
     # bias-add in f32, GELU in the compute dtype (matches the XLA
     # path's bf16 gelu; ~2x VPU rate from packed bf16)
-    h2 = jax.nn.gelu((acc + bdw_ref[0].astype(f32)).astype(xv.dtype))
+    h2 = jax.nn.gelu((acc + bdw_ref[0].astype(f32)).astype(xv.dtype),
+                     approximate=False)
 
     out = jnp.dot(h2.reshape(bh * w, ch), w2_ref[:],
                   preferred_element_type=f32)
