@@ -64,3 +64,11 @@ class SSDVGG(nn.Module):
         if 4 in self.out_feature_indices:
             outs.append(x)
         return tuple(outs)
+
+
+# reference config name (projects/ssd/configs/ssd300_coco.py uses
+# type='SSD_VGG16' with input_size + a pretrained path)
+@BACKBONES.register_module(name="SSD_VGG16")
+def _ssd_vgg16(input_size=300, pretrained=None, **kw):
+    kw.pop("out_feature_indices", None)
+    return SSDVGG(input_size=input_size)

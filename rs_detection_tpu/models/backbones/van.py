@@ -205,11 +205,13 @@ _VAN_ARCH = {
 def _make_van(arch):
     @BACKBONES.register_module(name=arch)
     def ctor(pretrained=False, **kw):
+        import dataclasses
+
         cfg = dict(_VAN_ARCH[arch])
-        kw.pop("img_size", None)
-        kw.pop("num_classes", None)
-        kw.pop("flag", None)
-        cfg.update(kw)
+        # keep only VAN dataclass fields: reference configs pass timm
+        # surface kwargs (img_size, num_stages, num_classes, flag, ...)
+        fields = {f.name for f in dataclasses.fields(VAN)}
+        cfg.update({k: v for k, v in kw.items() if k in fields})
         return VAN(**cfg)
     return ctor
 

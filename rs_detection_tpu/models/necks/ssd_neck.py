@@ -16,7 +16,6 @@ from ...utils.registry import NECKS
 from ..utils.modules import kaiming_normal_fanout
 
 
-@NECKS.register_module()
 class SSDNeck(nn.Module):
     # (reduce_channels, out_channels, stride, padding) per extra block
     extra_cfg: Sequence[Tuple[int, int, int, int]] = (
@@ -38,3 +37,24 @@ class SSDNeck(nn.Module):
             x = nn.relu(x)
             outs.append(x)
         return tuple(outs)
+
+
+# registered as a constructor so both schemas build: this repo's
+# explicit extra_cfg tuples AND the reference's flat channel/stride/
+# padding lists (projects/ssd/configs/ssd300_coco.py)
+@NECKS.register_module(name="SSDNeck")
+def _ssd_neck(extra_cfg=None,
+              in_channels=(512, 1024),
+              out_channels=(512, 1024, 512, 256, 256, 256),
+              level_strides=(2, 2, 1, 1),
+              level_paddings=(1, 1, 0, 0),
+              l2_norm_scale=20, **kw):
+    if extra_cfg is not None:
+        return SSDNeck(extra_cfg=tuple(tuple(e) for e in extra_cfg))
+    extras = []
+    n_base = len(in_channels)
+    for i, (stride, pad) in enumerate(zip(level_strides,
+                                          level_paddings)):
+        out = out_channels[n_base + i]
+        extras.append((max(out // 2, 128), out, stride, pad))
+    return SSDNeck(extra_cfg=tuple(extras))

@@ -136,6 +136,22 @@ class R3DetRefineHead(nn.Module):
 class R3Det(SingleStageDetector):
     refine_head: Any = None
     frm: Any = None
+    # reference r3det config schema (projects/r3det/configs): a list of
+    # refine-head cfgs + per-stage FRM cfgs + an explicit stage count.
+    # This implementation runs one refine stage; the first entry of
+    # each list configures it.
+    refine_heads: Any = None
+    frm_cfgs: Any = None
+    num_refine_stages: Any = None
+
+    def _refine_cfg(self):
+        if self.refine_head is not None:
+            return self.refine_head
+        if self.refine_heads:
+            from .compat import adapt_refine_head
+
+            return adapt_refine_head(list(self.refine_heads)[0])
+        return None
 
     def setup(self):
         from ..backbones.resnet import ResNet
@@ -148,9 +164,9 @@ class R3Det(SingleStageDetector):
             lambda: FPN(in_channels=(256, 512, 1024, 2048),
                         out_channels=256, num_outs=5,
                         add_extra_convs="on_input"))
-        self._bbox_head = _build(self.bbox_head, HEADS,
+        self._bbox_head = _build(self._head_cfg(), HEADS,
                                  lambda: RetinaHead())
-        self._refine_head = _build(self.refine_head, HEADS,
+        self._refine_head = _build(self._refine_cfg(), HEADS,
                                    lambda: R3DetRefineHead(
                                        num_classes=self
                                        ._bbox_head.num_classes,
@@ -158,7 +174,15 @@ class R3Det(SingleStageDetector):
                                        ._bbox_head.feat_channels,
                                        feat_channels=self
                                        ._bbox_head.feat_channels))
-        self._frm = (self.frm if self.frm is not None
+        frm_cfg = self.frm
+        if frm_cfg is None and self.frm_cfgs:
+            first = dict(list(self.frm_cfgs)[0])
+            frm_cfg = FeatureRefineModule(
+                in_channels=first.get("in_channels", 256),
+                featmap_strides=tuple(first.get(
+                    "featmap_strides",
+                    self._bbox_head.anchor_strides)))
+        self._frm = (frm_cfg if frm_cfg is not None
                      else FeatureRefineModule(
                          in_channels=self._bbox_head.feat_channels,
                          featmap_strides=self._bbox_head.anchor_strides))

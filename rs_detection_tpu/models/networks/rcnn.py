@@ -30,7 +30,10 @@ def _build(cfg, registry, default_cls):
     if cfg is None:
         return default_cls()
     if isinstance(cfg, Mapping):
-        return build_from_cfg(_unfreeze(cfg), registry)
+        from .compat import normalize_cfg
+
+        return build_from_cfg(normalize_cfg(_unfreeze(cfg), registry),
+                              registry)
     return cfg
 
 
@@ -51,6 +54,23 @@ class RCNN(nn.Module):
     # bf16 runs convs/FCs/gathers in bfloat16 (box decode and NMS stay
     # f32) — ~2x MXU throughput and half the HBM traffic on TPU
     compute_dtype: Any = None
+    # legacy/mmdet-v1 config schema (reference roi_transformer.py:11-19,
+    # faster_rcnn_obb.py:11-19) — normalized in setup via compat.py
+    rpn_head: Any = None
+    bbox_roi_extractor: Any = None
+    rbbox_roi_extractor: Any = None
+    rbbox_head: Any = None
+    shared_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    pretrained: Any = None
+
+    def _rpn_cfg(self):
+        from .compat import adapt_rpn_cfg
+
+        if self.rpn is not None:
+            return self.rpn
+        return adapt_rpn_cfg(self.rpn_head)
 
     def setup(self):
         from ..backbones.resnet import ResNet
@@ -62,7 +82,7 @@ class RCNN(nn.Module):
             self.neck, NECKS,
             lambda: FPN(in_channels=(256, 512, 1024, 2048),
                         out_channels=256, num_outs=5))
-        self._rpn = _build(self.rpn, HEADS, OrientedRPNHead)
+        self._rpn = _build(self._rpn_cfg(), HEADS, OrientedRPNHead)
         self._bbox_head = _build(self.bbox_head, HEADS, OrientedHead)
 
     def extract_feats(self, images, train: bool = False):

@@ -13,6 +13,26 @@ from ..roi_heads.rpn_head import RPNHead
 from .rcnn import RCNN, _build
 
 
+def _cascade_head_cfg(self):
+    """Normalize the head section: mmdet-v1 composed configs carry
+    ``rbbox_head``/``bbox_roi_extractor`` stage sections (reference
+    roi_transformer configs) — fold them into one RoITransformerHead
+    cfg; modern configs pass ``bbox_head`` straight through."""
+    from collections.abc import Mapping
+
+    from .compat import adapt_cascade_head
+
+    bh = self.bbox_head
+    legacy = (self.rbbox_head is not None
+              or self.bbox_roi_extractor is not None
+              or (isinstance(bh, Mapping) and "roi_feat_size" in bh))
+    if legacy:
+        return adapt_cascade_head(
+            bh, self.rbbox_head, self.bbox_roi_extractor,
+            self.rbbox_roi_extractor, self.train_cfg)
+    return bh
+
+
 @MODELS.register_module()
 class RoITransformer(RCNN):
     def setup(self):
@@ -25,8 +45,8 @@ class RoITransformer(RCNN):
             self.neck, NECKS,
             lambda: FPN(in_channels=(256, 512, 1024, 2048),
                         out_channels=256, num_outs=5))
-        self._rpn = _build(self.rpn, HEADS, RPNHead)
-        self._bbox_head = _build(self.bbox_head, HEADS,
+        self._rpn = _build(self._rpn_cfg(), HEADS, RPNHead)
+        self._bbox_head = _build(_cascade_head_cfg(self), HEADS,
                                  RoITransformerHead)
 
 
@@ -47,6 +67,6 @@ class FasterRCNNOBB(RCNN):
             self.neck, NECKS,
             lambda: FPN(in_channels=(256, 512, 1024, 2048),
                         out_channels=256, num_outs=5))
-        self._rpn = _build(self.rpn, HEADS, RPNHead)
-        self._bbox_head = _build(self.bbox_head, HEADS,
+        self._rpn = _build(self._rpn_cfg(), HEADS, RPNHead)
+        self._bbox_head = _build(_cascade_head_cfg(self), HEADS,
                                  RoITransformerHead)

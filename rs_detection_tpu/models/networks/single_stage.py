@@ -24,6 +24,21 @@ class SingleStageDetector(nn.Module):
     backbone: Any = None
     neck: Any = None
     bbox_head: Any = None
+    # legacy config schema: head under ``roi_heads`` (reference
+    # single_stage.py:17) or ``rpn_net`` (retinanet.py:12)
+    roi_heads: Any = None
+    rpn_net: Any = None
+    pretrained: Any = None
+
+    def _head_cfg(self):
+        from .compat import adapt_single_stage_head
+
+        cfg = self.bbox_head
+        if cfg is None:
+            cfg = self.roi_heads
+        if cfg is None:
+            cfg = self.rpn_net
+        return adapt_single_stage_head(cfg)
 
     def setup(self):
         from ..backbones.resnet import ResNet
@@ -37,7 +52,7 @@ class SingleStageDetector(nn.Module):
             lambda: FPN(in_channels=(256, 512, 1024, 2048),
                         out_channels=256, num_outs=5,
                         add_extra_convs="on_input"))
-        self._bbox_head = _build(self.bbox_head, HEADS, S2ANetHead)
+        self._bbox_head = _build(self._head_cfg(), HEADS, S2ANetHead)
 
     def extract_feats(self, images, train=False):
         return self._neck(self._backbone(images, train=train),

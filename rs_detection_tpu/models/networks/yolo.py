@@ -345,20 +345,54 @@ def _ciou(px, py, pw, ph, gx, gy, gw, gh, eps=1e-7):
 
 @MODELS.register_module()
 class YOLO(nn.Module):
-    """YOLOv5 (reference ``networks/yolo.py``)."""
+    """YOLOv5 (reference ``networks/yolo.py``).
+
+    Accepts the reference yolo config schema verbatim
+    (``projects/yolo/configs/yolo_model_base.py``: flat loss gains +
+    ``nc``/``ch``/``ema``/``imgsz``): the gains configure the head, the
+    depth/width multiples select the S/M/L/X variant (registered as
+    ``YOLOv5S`` etc.)."""
 
     backbone: Any = None
     neck: Any = None
     bbox_head: Any = None
+    # reference config surface
+    nc: int = 80                    # classes
+    ch: int = 3                     # input channels (informational)
+    imgsz: Any = None
+    is_coco: bool = False
+    ema: bool = False               # per-step EMA (runner-integrated)
+    ema_decay: float = 0.9999
+    boxlg: float = 0.05             # box loss gain
+    clslg: float = 0.5              # cls loss gain
+    objlg: float = 1.0              # obj loss gain
+    cls_pw: float = 1.0
+    obj_pw: float = 1.0
+    fl_gamma: float = 0.0
+    anchor_t: float = 4.0
+    depth_multiple: float = 0.33
+    width_multiple: float = 0.5
+    pretrained: Any = None
 
     def setup(self):
         from ...utils.registry import build_from_cfg
 
         from .rcnn import _build
 
-        self._backbone = _build(self.backbone, BACKBONES, CSPDarknet)
-        self._neck = _build(self.neck, NECKS, YOLOPAN)
-        self._head = _build(self.bbox_head, HEADS, YOLOv5Head)
+        self._backbone = _build(
+            self.backbone, BACKBONES,
+            lambda: CSPDarknet(depth_multiple=self.depth_multiple,
+                               width_multiple=self.width_multiple))
+        self._neck = _build(
+            self.neck, NECKS,
+            lambda: YOLOPAN(depth_multiple=self.depth_multiple,
+                            width_multiple=self.width_multiple))
+        self._head = _build(
+            self.bbox_head, HEADS,
+            lambda: YOLOv5Head(num_classes=self.nc,
+                               box_w=self.boxlg, cls_w=self.clslg,
+                               obj_w=self.objlg,
+                               anchor_t=self.anchor_t))
 
     def __call__(self, images, targets=None, train: bool = False):
         return self.predict(images, targets)
@@ -373,3 +407,27 @@ class YOLO(nn.Module):
         feats = self._neck(self._backbone(images), train=False)
         preds = self._head(feats, train=False)
         return self._head.get_bboxes(preds, targets or {})
+
+
+# reference variant registry names (yolov5{s,m,l,x}_coco configs):
+# depth/width multiples per the yolov5 model yamls the reference bundles
+# (projects/yolo/configs/yolo_configs/yolov5*.yaml)
+_YOLO_VARIANTS = {
+    "YOLOv5S": (0.33, 0.50),
+    "YOLOv5M": (0.67, 0.75),
+    "YOLOv5L": (1.00, 1.00),
+    "YOLOv5X": (1.33, 1.25),
+}
+
+
+def _make_yolo_variant(name, dm, wm):
+    @MODELS.register_module(name=name)
+    def ctor(**kw):
+        kw.setdefault("depth_multiple", dm)
+        kw.setdefault("width_multiple", wm)
+        return YOLO(**kw)
+    return ctor
+
+
+for _n, (_dm, _wm) in _YOLO_VARIANTS.items():
+    _make_yolo_variant(_n, _dm, _wm)
