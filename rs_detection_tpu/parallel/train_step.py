@@ -24,6 +24,9 @@ class TrainState(NamedTuple):
     params: Any
     batch_stats: Any      # all non-param variable collections
     opt_state: Any
+    # per-step exponential moving average of params (YOLO-style; the
+    # reference's ModelEMA — networks/yolo.py). None when disabled.
+    ema_params: Any = None
 
 
 def create_mesh(n_devices: Optional[int] = None,
@@ -42,7 +45,8 @@ def shardings(mesh: Mesh, axis_name: str = "data"):
     return replicated, batch
 
 
-def create_train_state(model, variables, tx) -> TrainState:
+def create_train_state(model, variables, tx,
+                       ema: bool = False) -> TrainState:
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
     return TrainState(
@@ -50,19 +54,26 @@ def create_train_state(model, variables, tx) -> TrainState:
         params=params,
         batch_stats=extra,
         opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params)
+        if ema else None,
     )
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     axis_name: str = "data",
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    ema_decay: Optional[float] = None,
+                    ema_ramp: float = 2000.0) -> Callable:
     """Build the jitted DP train step.
 
     The returned ``train_step(state, images, targets, rng) ->
     (state, metrics)`` computes the mean loss over the global batch;
     with a mesh, inputs are sharded over ``axis_name`` and XLA derives
-    the gradient all-reduce.
+    the gradient all-reduce. With ``ema_decay`` set (and
+    ``state.ema_params`` initialized), a per-step EMA of the params is
+    maintained inside the same jitted program with the reference
+    YOLO's warmup-ramped decay ``d = decay * (1 - exp(-step/ramp))``.
     """
 
     def step_fn(state: TrainState, images, targets, rng):
@@ -84,8 +95,16 @@ def make_train_step(model, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            d = ema_decay * (1.0 - jnp.exp(
+                -(state.step.astype(jnp.float32) + 1.0) / ema_ramp))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params)
         new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_bs, opt_state=new_opt)
+                               batch_stats=new_bs, opt_state=new_opt,
+                               ema_params=new_ema)
         metrics = dict(losses)
         metrics["total_loss"] = total
         return new_state, metrics

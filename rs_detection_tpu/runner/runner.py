@@ -71,6 +71,14 @@ class Runner:
         self.logger = RunLogger(self.work_dir)
 
         self.model = build_from_cfg(cfg.model, MODELS)
+        # per-step EMA (reference YOLO's ModelEMA): enabled by the
+        # model config's ema flag; eval/test/save use the EMA weights
+        mc = cfg.model or {}
+        self._ema_enabled = bool(mc.get("ema") if hasattr(mc, "get")
+                                 else getattr(self.model, "ema", False))
+        self._ema_decay = float(
+            (mc.get("ema_decay") if hasattr(mc, "get") else None)
+            or getattr(self.model, "ema_decay", 0.9999) or 0.9999)
         self.train_dataset = build_from_cfg(
             cfg.dataset and cfg.dataset.get("train"), DATASETS)
         self.val_dataset = build_from_cfg(
@@ -143,7 +151,8 @@ class Runner:
             variables = self._merge_loaded(variables,
                                            self._pending_variables)
             self._pending_variables = None
-        self.state = create_train_state(self.model, variables, self.tx)
+        self.state = create_train_state(self.model, variables, self.tx,
+                                        ema=self._ema_enabled)
         # resume: restore optimizer state (momentum, optax step count —
         # which drives the LR schedule) and the train-step counter; the
         # reference restores optimizer params too (runner.py:272-293)
@@ -155,10 +164,17 @@ class Runner:
         if self.iter:
             self.state = self.state._replace(
                 step=jnp.asarray(self.iter, jnp.int32))
-        self._train_step = make_train_step(self.model, self.tx,
-                                           mesh=self.mesh)
+        if self._pending_ema is not None:
+            self.state = self.state._replace(
+                ema_params=serialization.from_state_dict(
+                    self.state.params, self._pending_ema))
+            self._pending_ema = None
+        self._train_step = make_train_step(
+            self.model, self.tx, mesh=self.mesh,
+            ema_decay=self._ema_decay if self._ema_enabled else None)
 
     _pending_variables = None
+    _pending_ema = None
     _pending_opt_state = None
 
     def _ensure_state(self):
@@ -290,10 +306,15 @@ class Runner:
                 self._eval_step = single
         return self._eval_step
 
-    def _variables(self):
+    def _variables(self, use_ema: bool = True):
         # state.batch_stats holds ALL non-param collections keyed by
-        # collection name (batch_stats, loss_state, ...)
-        return {"params": self.state.params, **self.state.batch_stats}
+        # collection name (batch_stats, loss_state, ...). Eval paths
+        # read the EMA weights when per-step EMA is enabled (reference
+        # YOLO evaluates its ModelEMA copy).
+        params = self.state.params
+        if use_ema and self.state.ema_params is not None:
+            params = self.state.ema_params
+        return {"params": params, **self.state.batch_stats}
 
     @staticmethod
     def postprocess_dense(out: Dict, metas, score_thresh=0.05):
@@ -421,6 +442,9 @@ class Runner:
                 self._variables()) if self.state else None,
             opt_state=serialization.to_state_dict(
                 self.state.opt_state) if self.state else None,
+            ema=serialization.to_state_dict(self.state.ema_params)
+            if self.state is not None
+            and self.state.ema_params is not None else None,
         )
         with open(path, "wb") as f:
             pickle.dump(data, f)
@@ -465,6 +489,7 @@ class Runner:
             self.epoch = int(meta.get("epoch", 0))
             self.iter = int(meta.get("iter", 0))
             self._pending_opt_state = data.get("opt_state")
+            self._pending_ema = data.get("ema")
             # resuming inside the SWA phase: adopt the SWA optimizer up
             # front so train() doesn't re-init and zero the loaded state
             if meta.get("swa_active") and self.tx_swa is not None:

@@ -227,3 +227,53 @@ class TestShardMapEval:
         out_1 = make_eval_step(model)(variables, images, targets)
         np.testing.assert_allclose(np.asarray(out_sm["det"]),
                                    np.asarray(out_1["det"]), atol=1e-6)
+
+
+class TestEMA:
+    def test_per_step_ema_matches_manual(self):
+        """EMA update inside the jitted step == manual formula
+        d = decay*(1-exp(-(step+1)/ramp)) (reference YOLO ModelEMA)."""
+        from flax import linen as nn
+        import optax
+
+        from rs_detection_tpu.parallel.train_step import (
+            create_train_state, make_train_step)
+
+        class Toy(nn.Module):
+            def setup(self):
+                self.dense = nn.Dense(4)
+
+            def __call__(self, images, targets=None, train=False):
+                return self.dense(images)
+
+            def loss(self, images, targets):
+                out = self.dense(images)
+                return {"loss": ((out - targets["y"]) ** 2).mean()}
+
+        model = Toy()
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(4, 8).astype(np.float32))
+        targets = {"y": jnp.asarray(rng.rand(4, 4).astype(np.float32))}
+        variables = model.init({"params": jax.random.PRNGKey(0)}, images,
+                               targets)
+        tx = optax.sgd(0.1)
+        decay, ramp = 0.9, 10.0
+        step = make_train_step(model, tx, ema_decay=decay, ema_ramp=ramp,
+                               donate=False)
+        state = create_train_state(model, variables, tx, ema=True)
+
+        manual = jax.tree_util.tree_map(np.asarray, state.params)
+        for i in range(3):
+            state, _ = step(state, images, targets, jax.random.PRNGKey(1))
+            d = decay * (1 - np.exp(-(i + 1) / ramp))
+            manual = jax.tree_util.tree_map(
+                lambda e, p: e * d + np.asarray(p) * (1 - d),
+                manual, state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(manual)):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5,
+                                       atol=1e-6)
+        # EMA must differ from the raw params after updates
+        pa = jax.tree_util.tree_leaves(state.params)[0]
+        ea = jax.tree_util.tree_leaves(state.ema_params)[0]
+        assert not np.allclose(np.asarray(pa), np.asarray(ea))
