@@ -86,6 +86,9 @@ def adapt_cascade_head(bbox_head, rbbox_head=None,
         num_classes=int(stage2.get("num_classes", 16)) - 1,
         in_channels=bbox_head.get("in_channels", 256),
     )
+    if "KFIoU" in str(stage2.get("type", "")) \
+            or (stage2.get("loss_bbox") or {}).get("loss_type") == "kfiou":
+        out["reg_loss"] = "kfiou"
     if bbox_head.get("target_stds") is not None:
         out["stage1_stds"] = list(bbox_head["target_stds"])
     if stage2.get("target_stds") is not None:

@@ -70,6 +70,11 @@ class RoITransformerHead(nn.Module):
     score_thresh: float = 0.05
     sampler_num: int = 512
     pos_fraction: float = 0.25
+    # stage-2 regression loss: 'smooth_l1' (SharedFCBBoxHeadRbbox) or
+    # 'kfiou' (reference KFIoUSharedFCBBoxHeadRbbox,
+    # convfc_rbbox_head.py:213 — same architecture, GDLoss-kfiou bbox
+    # loss on decoded boxes)
+    reg_loss: str = "smooth_l1"
 
     def setup(self):
         self._h_extractor = SingleRoIExtractor(
@@ -184,6 +189,8 @@ class RoITransformerHead(nn.Module):
                                    self.num_classes)
             return dict(rois=rois_r,
                         targets=jnp.where(pos[:, None], t, 0),
+                        gt_boxes=jnp.where(pos[:, None],
+                                           rbox[matched], 0),
                         labels=labels_out.astype(jnp.int32),
                         pos=pos, neg=neg)
 
@@ -196,15 +203,32 @@ class RoITransformerHead(nn.Module):
         pos2 = s2["pos"].reshape(-1)
         neg2 = s2["neg"].reshape(-1)
         lw2 = jnp.where(pos2, 1.0, jnp.where(neg2, 1.0, 0.0))
-        losses.update(
-            rbbox_cls_loss_2=softmax_cross_entropy(
-                cls2, s2["labels"].reshape(-1), lw2,
-                avg_factor=jnp.maximum((lw2 > 0).sum(), 1.0)),
-            rbbox_reg_loss_2=smooth_l1_loss(
+        losses.update(rbbox_cls_loss_2=softmax_cross_entropy(
+            cls2, s2["labels"].reshape(-1), lw2,
+            avg_factor=jnp.maximum((lw2 > 0).sum(), 1.0)))
+        if self.reg_loss == "kfiou":
+            from ..losses.poly_iou_loss import kfiou_loss
+
+            # negatives get unit dummy boxes: their weight is 0, but
+            # degenerate (w=h=0) boxes would make the gaussian
+            # covariance singular and poison the loss with NaN*0
+            dummy = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0])
+            rois_flat = jnp.where(pos2[:, None],
+                                  s2["rois"].reshape(b * s, 5), dummy)
+            pred_dec = self._coder2.decode(
+                rois_flat, jnp.where(pos2[:, None], reg2, 0.0))
+            tgt_dec = jnp.where(pos2[:, None],
+                                s2["gt_boxes"].reshape(b * s, 5), dummy)
+            losses.update(rbbox_reg_loss_2=kfiou_loss(
+                reg2, s2["targets"].reshape(-1, 5),
+                pred_decode=pred_dec, targets_decode=tgt_dec,
+                weight=pos2.astype(jnp.float32),
+                avg_factor=jnp.maximum(pos2.sum(), 1.0)))
+        else:
+            losses.update(rbbox_reg_loss_2=smooth_l1_loss(
                 reg2, s2["targets"].reshape(-1, 5),
                 pos2.astype(jnp.float32)[:, None],
-                avg_factor=float(b * s)),
-        )
+                avg_factor=float(b * s)))
         return losses
 
     # ------------------------------------------------------------------
@@ -238,5 +262,13 @@ HEADS.register_module(name="SharedFCBBoxHeadRbbox",
 HEADS.register_module(name="BBoxHeadRbbox", module=RoITransformerHead)
 HEADS.register_module(name="ConvFCBBoxHeadRbbox",
                       module=RoITransformerHead)
-HEADS.register_module(name="KFIoUSharedFCBBoxHeadRbbox",
-                      module=RoITransformerHead)
+@HEADS.register_module(name="KFIoUSharedFCBBoxHeadRbbox")
+def _kfiou_shared_fc_head(**kw):
+    """Reference ``convfc_rbbox_head.py:213``: the shared-FC rbbox head
+    with the KFIoU regression loss."""
+    kw.setdefault("reg_loss", "kfiou")
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(RoITransformerHead)}
+    return RoITransformerHead(**{k: v for k, v in kw.items()
+                                 if k in fields})

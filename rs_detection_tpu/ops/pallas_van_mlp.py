@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -91,10 +92,19 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
         for dy in range(3):
             tap = sxd[dy:dy + bh] * wdw[dy * 3 + dx]
             acc = tap if acc is None else acc + tap
-    # bias-add in f32, GELU in the compute dtype (matches the XLA
-    # path's bf16 gelu; ~2x VPU rate from packed bf16)
-    h2 = jax.nn.gelu((acc + bdw_ref[0].astype(f32)).astype(xv.dtype),
-                     approximate=False)
+    # exact (erf) gelu in f32: Mosaic lowers neither erf nor erfc, so
+    # use the Abramowitz–Stegun 7.1.26 polynomial (max err 1.5e-7 —
+    # below bf16 resolution, i.e. bit-identical to exact after cast)
+    hpre = acc + bdw_ref[0].astype(f32)
+    z = hpre * np.float32(0.7071067811865476)
+    sgn = jnp.sign(z)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * za)
+    poly = t * (np.float32(0.254829592) + t * (
+        np.float32(-0.284496736) + t * (np.float32(1.421413741) + t * (
+            np.float32(-1.453152027) + t * np.float32(1.061405429)))))
+    erf = sgn * (1.0 - poly * jnp.exp(-za * za))
+    h2 = (hpre * 0.5 * (1.0 + erf)).astype(xv.dtype)
 
     out = jnp.dot(h2.reshape(bh * w, ch), w2_ref[:],
                   preferred_element_type=f32)

@@ -101,6 +101,18 @@ def test_roi_transformer(data):
 
 
 @pytest.mark.slow
+def test_roi_transformer_kfiou(data):
+    """KFIoUSharedFCBBoxHeadRbbox parity: stage-2 regression via the
+    Kalman-filter IoU loss (reference convfc_rbbox_head.py:213)."""
+    from rs_detection_tpu.models.networks.roi_transformer import \
+        RoITransformer
+
+    model = RoITransformer(backbone=_bb(), neck=_neck(), rpn=_RPN,
+                           bbox_head=dict(_RT_HEAD, reg_loss="kfiou"))
+    _smoke(model, *data, ["rbbox_cls_loss_1", "rbbox_reg_loss_2"])
+
+
+@pytest.mark.slow
 def test_faster_rcnn_obb(data):
     from rs_detection_tpu.models.networks.roi_transformer import \
         FasterRCNNOBB
