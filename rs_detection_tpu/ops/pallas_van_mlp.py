@@ -42,7 +42,7 @@ def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
 
 def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
                 b2_ref, out_ref, xbuf, sems, *, bh: int, h: int, w: int,
-                wp: int, c: int, ch: int):
+                wp: int, c: int, ch: int, residual: bool = False):
     n_i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -109,10 +109,15 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
     out = jnp.dot(h2.reshape(bh * w, ch), w2_ref[:],
                   preferred_element_type=f32)
     out = out + b2_ref[0].astype(f32)
-    out_ref[0] = out.reshape(bh, w, c).astype(out_ref.dtype)
+    out = out.reshape(bh, w, c)
+    if residual:
+        # the block's residual add rides along for free: the x block
+        # (center rows/cols, un-padded channels) is already in VMEM
+        out = out + xv[1:1 + bh, 1:1 + w, :c].astype(f32)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2):
+def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
     n, h, w, c = x.shape
     ch = w1.shape[-1]
     # manual DMA slices need a 128-multiple lane (channel) dim — pad x
@@ -134,7 +139,7 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2):
 
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, bh=bh, h=h, w=w, wp=wp, c=c,
-                          ch=ch),
+                          ch=ch, residual=residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -190,3 +195,10 @@ def _bwd(res, g):
 
 
 van_mlp.defvjp(_fwd, _bwd)
+
+
+def van_mlp_residual(x, w1, b1, wdw, bdw, w2, b2):
+    """Inference-only fused ``x + mlp(x)`` (layer-scale pre-folded into
+    w2/b2 by the caller; residual added in-kernel from the VMEM-resident
+    x block). No custom vjp — training uses the XLA composition."""
+    return _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=True)

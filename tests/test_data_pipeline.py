@@ -173,3 +173,76 @@ class TestVocEval:
         dets = np.array([[0, *gt_poly, 0.9], [0, *(gt_poly + 50), 0.8]])
         rec, prec, ap = voc_eval_dota(dets, gts)
         assert abs(ap - 0.5) < 1e-6
+
+
+class TestLVIS:
+    def _write_lvis(self, tmp_path, n_img=2):
+        import json
+
+        from PIL import Image
+
+        (tmp_path / "images").mkdir(exist_ok=True)
+        images, anns = [], []
+        aid = 1
+        for i in range(n_img):
+            name = f"img{i}.jpg"
+            Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+                tmp_path / "images" / name)
+            images.append(dict(
+                id=i + 1, width=64, height=64,
+                coco_url=f"http://x/{name}",
+                neg_category_ids=[3],
+                not_exhaustive_category_ids=[]))
+            anns.append(dict(id=aid, image_id=i + 1, category_id=1,
+                             bbox=[10, 10, 20, 12], area=240,
+                             iscrowd=0))
+            aid += 1
+        cats = [dict(id=c, name=f"c{c}") for c in range(1, 4)]
+        path = tmp_path / "lvis.json"
+        with open(path, "w") as f:
+            json.dump(dict(images=images, annotations=anns,
+                           categories=cats), f)
+        return str(tmp_path / "images"), str(path)
+
+    def test_lvis_dataset_and_protocol(self, tmp_path):
+        import rs_detection_tpu.data  # noqa: F401
+        from rs_detection_tpu.utils.registry import DATASETS
+
+        images_dir, ann = self._write_lvis(tmp_path)
+        ds = DATASETS.get("LVISDataset")(images_dir=images_dir,
+                                         annotations_file=ann,
+                                         batch_size=1)
+        assert len(ds.CLASSES) == 1203
+        assert len(ds.frequencies) == 1203
+        # file_name derived from coco_url
+        assert ds.img_infos[0]["filename"] == "img0.jpg"
+
+        # perfect detection of cat 1 + spurious detections of cat 2
+        # (NOT evaluable: neither annotated nor negative -> ignored)
+        # and cat 3 (negative -> counts as FP)
+        results = []
+        for info in ds.img_infos:
+            g = info["ann"]["hboxes"]
+            boxes = np.concatenate([g, g, g])
+            scores = np.array([1.0, 0.9, 0.8])
+            labels = np.array([1, 2, 3])
+            results.append((boxes, scores, labels))
+        out = ds.evaluate(results, str(tmp_path), 0)
+        per = out["per_class_ap50"]
+        assert per[0] == pytest.approx(1.0, abs=1e-6)   # cat 1 perfect
+        assert per[1] == 0.0                            # cat 2 ignored
+        assert per[2] == 0.0                            # cat 3 FP only
+
+    def test_lvis_frequency_split_keys(self, tmp_path):
+        import rs_detection_tpu.data  # noqa: F401
+        from rs_detection_tpu.utils.registry import DATASETS
+
+        images_dir, ann = self._write_lvis(tmp_path)
+        ds = DATASETS.get("LVISDataset")(images_dir=images_dir,
+                                         annotations_file=ann,
+                                         batch_size=1)
+        results = [(i["ann"]["hboxes"], np.ones(1), np.ones(1, int))
+                   for i in ds.img_infos]
+        out = ds.evaluate(results, str(tmp_path), 0)
+        # frequency buckets from the shipped LVIS v1 table
+        assert set(ds.frequencies) == {"f", "c", "r"}
