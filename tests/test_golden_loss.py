@@ -243,10 +243,33 @@ def build_r3det():
     return _finish(model, images, _rich_targets(img))
 
 
+def build_ssd():
+    from rs_detection_tpu.models.roi_heads.ssd_head import SSD
+
+    model = SSD(backbone=dict(type="SSDVGG"),
+                neck=dict(type="SSDNeck"),
+                bbox_head=dict(type="SSDHead", num_classes=4))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _rich_targets(img))
+
+
+def build_yolo():
+    from rs_detection_tpu.models.networks.yolo import YOLO
+
+    model = YOLO(bbox_head=dict(type="YOLOv5Head", num_classes=4))
+    img = 64
+    rng = np.random.RandomState(42)
+    images = jnp.asarray(rng.rand(1, img, img, 3).astype(np.float32))
+    return _finish(model, images, _rich_targets(img))
+
+
 _BUILDERS = {"orcnn": build_orcnn, "s2anet": build_s2anet,
              "retinanet": build_retinanet, "fcos": build_fcos,
              "gliding": build_gliding, "roitrans": build_roitrans,
-             "r3det": build_r3det}
+             "r3det": build_r3det, "ssd": build_ssd,
+             "yolo": build_yolo}
 
 
 @pytest.mark.slow
