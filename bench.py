@@ -1,26 +1,65 @@
-"""Benchmark: Oriented R-CNN (VAN-b3) end-to-end inference throughput.
+"""Benchmark: Oriented R-CNN (VAN-b3) end-to-end tile throughput.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measures 1024x1024 DOTA-tile inference (the BASELINE.json north-star
-metric: >= 400 tiles/sec/chip e2e on v5e-8 for Oriented R-CNN VAN-b3).
-The reference publishes no throughput numbers (SURVEY §6), so
-``vs_baseline`` is reported against the 400 tiles/sec/chip target.
+Measures the BASELINE.json metric of record — **preprocess + infer
+e2e**: PNG tiles are decoded from disk, normalized, padded and
+transferred to the device on the clock, overlapped with device compute
+by a double-buffered host pipeline (the reference's multi-worker loader
+analogue), while the device runs Oriented R-CNN VAN-b3 on 1024x1024
+tiles. Target: >= 400 tiles/sec/chip on v5e-8.
 
 Timing methodology: the compute path ends in an on-device scalar
 reduction whose host fetch forces completion — ``block_until_ready``
 alone is not a reliable completion barrier through the axon TPU tunnel.
+Best-of-3 runs (the tunnel-attached chip drifts ~8% run-to-run).
 
 Usage: python bench.py [--tiny] [--batch N] [--iters N] [--fp32]
+                       [--no-preproc]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import tempfile
 import time
+
+
+def _make_tiles(tile_dir: str, n: int, img: int, seed: int = 0):
+    """Write synthetic PNG tiles once (decode cost is content-
+    independent)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    paths = []
+    for i in range(n):
+        p = os.path.join(tile_dir, f"tile_{i}.png")
+        if not os.path.exists(p):
+            arr = (rng.rand(img, img, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def _host_batches(paths, batch, n_batches, pool):
+    """Decode -> uint8 NHWC batches on a thread pool (normalize runs
+    on-device, fused into the first conv; uint8 transfer is 4x fewer
+    host->device bytes than f32)."""
+    import numpy as np
+    from PIL import Image
+
+    def load(path):
+        return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+    for b in range(n_batches):
+        sel = [paths[(b * batch + i) % len(paths)]
+               for i in range(batch)]
+        yield np.stack(list(pool.map(load, sel)))
 
 
 def main():
@@ -31,9 +70,13 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-preproc", action="store_true",
+                    help="legacy mode: pre-staged device tensors only")
+    ap.add_argument("--workers", type=int, default=16)
     args = ap.parse_args()
 
     import dataclasses
+    from concurrent.futures import ThreadPoolExecutor
 
     import jax
     import jax.numpy as jnp
@@ -44,7 +87,7 @@ def main():
     batch = args.batch or (8 if not tiny else 1)
     img = 256 if tiny else 1024
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _dummy_targets, _flagship
 
     model = _flagship(tiny=tiny)
@@ -61,34 +104,70 @@ def main():
     # Each call carries a data dependency on the previous result (dep *
     # 0.0 — not algebraically foldable under IEEE NaN semantics), so a
     # whole run of iterations is dispatched async and fetched ONCE:
-    # back-to-back device throughput, with the ~26 ms tunnel RTT
-    # amortized over the run instead of serialized into every batch.
+    # back-to-back device throughput with the ~26 ms tunnel RTT
+    # amortized over the run.
     fwd = jax.jit(lambda v, i, t, d: jnp.sum(
         model.apply(v, i + d * 0.0, t,
                     method=model.predict)["scores"]))
+
     dep = jnp.float32(0.0)
     for _ in range(args.warmup):
         dep = fwd(variables, images, targets, dep)
     float(dep)
 
-    # best-of-3 runs: the tunnel-attached chip shows ~8% run-to-run
-    # drift (contention), so steady-state throughput is the fastest
-    # full run, not a single sample
+    # on-device normalize (competition config mean/std, to_bgr=False),
+    # fused by XLA into the first backbone conv
+    mean = jnp.asarray([123.675, 116.28, 103.53], jnp.float32)
+    std = jnp.asarray([58.395, 57.12, 57.375], jnp.float32)
+    fwd_u8 = jax.jit(lambda v, i, t, d: jnp.sum(
+        model.apply(v, (i.astype(jnp.float32) - mean) / std + d * 0.0,
+                    t, method=model.predict)["scores"]))
+
+    runs = 3 if not tiny else 1
     best_dt = None
-    for _ in range(3 if not tiny else 1):
-        t0 = time.perf_counter()
-        dep = jnp.float32(0.0)
-        for _ in range(args.iters):
-            dep = fwd(variables, images, targets, dep)
+    if args.no_preproc:
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            dep = jnp.float32(0.0)
+            for _ in range(args.iters):
+                dep = fwd(variables, images, targets, dep)
+            float(dep)
+            dt = (time.perf_counter() - t0) / args.iters
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        metric = "orcnn_vanb3_1024tile_infer"
+    else:
+        tile_dir = os.path.join(tempfile.gettempdir(),
+                                f"rs_bench_tiles_{img}")
+        os.makedirs(tile_dir, exist_ok=True)
+        paths = _make_tiles(tile_dir, max(2 * batch, 16), img)
+        pool = ThreadPoolExecutor(max_workers=args.workers)
+        # warm the uint8-input program
+        u8 = jnp.zeros((batch, img, img, 3), jnp.uint8)
+        dep = fwd_u8(variables, u8, targets, jnp.float32(0.0))
         float(dep)
-        dt = (time.perf_counter() - t0) / args.iters
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            dep = jnp.float32(0.0)
+            # double buffering: the generator (thread pool) decodes
+            # batch k+1 while the device runs batch k; device_put
+            # overlaps with the async dispatch chain
+            gen = _host_batches(paths, batch, args.iters, pool)
+            pending = jax.device_put(next(gen))
+            for k in range(args.iters):
+                cur = pending
+                if k + 1 < args.iters:
+                    nxt = next(gen)
+                    pending = jax.device_put(nxt)
+                dep = fwd_u8(variables, cur, targets, dep)
+            float(dep)
+            dt = (time.perf_counter() - t0) / args.iters
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        metric = "orcnn_vanb3_1024tile_preproc_infer_e2e"
 
     tiles_per_sec = batch / best_dt
     target = 400.0  # BASELINE.json north star (tiles/sec/chip)
     print(json.dumps({
-        "metric": "orcnn_vanb3_1024tile_infer" if not tiny
-        else "orcnn_tiny_smoke_infer",
+        "metric": metric if not tiny else "orcnn_tiny_smoke_infer",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(tiles_per_sec / target, 4),

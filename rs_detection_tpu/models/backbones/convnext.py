@@ -16,7 +16,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...utils.registry import BACKBONES
-from ..utils.modules import DropPath, kaiming_normal_fanout
+from ..utils.modules import DropPath, kaiming_normal_fanout, exact_gelu
 
 
 class ConvNeXtBlock(nn.Module):
@@ -33,7 +33,7 @@ class ConvNeXtBlock(nn.Module):
                     dtype=x.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype)(x)
         x = nn.Dense(4 * self.dim, dtype=x.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = exact_gelu(x)
         x = nn.Dense(self.dim, dtype=x.dtype)(x)
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),

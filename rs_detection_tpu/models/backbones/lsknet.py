@@ -16,7 +16,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...utils.registry import BACKBONES
-from ..utils.modules import DropPath, Norm, kaiming_normal_fanout
+from ..utils.modules import DropPath, Norm, kaiming_normal_fanout, exact_gelu
 from .van import Mlp, OverlapPatchEmbed, _dwconv
 
 
@@ -52,7 +52,7 @@ class LSKAttention(nn.Module):
     def __call__(self, x):
         shortcut = x
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype, name="proj_1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = exact_gelu(x)
         x = LSKModule(self.dim, name="spatial_gating_unit")(x)
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype, name="proj_2")(x)
         return x + shortcut

@@ -22,7 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...utils.registry import BACKBONES
-from ..utils.modules import DropPath
+from ..utils.modules import DropPath, exact_gelu
 
 
 def window_partition(x, ws: int):
@@ -137,7 +137,7 @@ class SwinBlock(nn.Module):
                                                 deterministic=not train)
         h2 = nn.LayerNorm(name="norm2")(x)
         h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h2)
-        h2 = nn.gelu(h2, approximate=False)
+        h2 = exact_gelu(h2)
         h2 = nn.Dense(self.dim, name="fc2")(h2)
         return x + DropPath(self.drop_path)(h2, deterministic=not train)
 

@@ -23,7 +23,8 @@ from flax import linen as nn
 
 from ...ops.pallas_van_mlp import _ref_mlp, van_mlp
 from ...utils.registry import BACKBONES
-from ..utils.modules import DropPath, Norm, kaiming_normal_fanout
+from ..utils.modules import (DropPath, Norm, exact_gelu,
+                             kaiming_normal_fanout)
 
 
 def _dwconv(x, features, kernel, dilation=1, name=None):
@@ -61,7 +62,7 @@ class SpatialAttention(nn.Module):
                     kernel_init=kaiming_normal_fanout(), name="proj_1")(x)
         # exact (erf) gelu: jittor/torch nn.GELU semantics, not the
         # tanh approximation — parity-relevant for converted weights
-        x = nn.gelu(x, approximate=False)
+        x = exact_gelu(x)
         x = LKA(self.dim, name="sgu")(x)
         x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
                     kernel_init=kaiming_normal_fanout(), name="proj_2")(x)

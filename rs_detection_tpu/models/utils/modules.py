@@ -22,10 +22,12 @@ def _pair(x):
     return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
 
 
+from ...ops.activations import exact_gelu  # noqa: E402
+
 ACTIVATIONS = {
     None: None,
     "relu": nn.relu,
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu": exact_gelu,
     "silu": nn.silu,
     "swish": nn.silu,
     "leaky_relu": lambda x: nn.leaky_relu(x, 0.1),

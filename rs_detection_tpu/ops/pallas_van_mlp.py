@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .activations import exact_gelu
+
 
 def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
     """Pure-XLA reference composition (also the custom_vjp bwd)."""
@@ -36,7 +38,7 @@ def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
         feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=h.dtype) + bdw
-    h = jax.nn.gelu(h, approximate=False)  # erf gelu (torch/jittor)
+    h = exact_gelu(h)  # erf gelu (torch/jittor semantics, fast form)
     return jnp.einsum("nhwd,dc->nhwc", h, w2) + b2
 
 
