@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.pallas_van_mlp import _ref_mlp, van_mlp
+from ...ops.pallas_van_mlp import (_ref_mlp, van_mlp,
+                                   van_mlp_residual)
 from ...utils.registry import BACKBONES
 from ..utils.modules import (DropPath, Norm, exact_gelu,
                              kaiming_normal_fanout)
@@ -36,37 +37,77 @@ def _dwconv(x, features, kernel, dilation=1, name=None):
                    name=name)(x)
 
 
-class LKA(nn.Module):
-    """Large-kernel attention (reference ``AttentionModule`` :179-196)."""
+class _LKAParams(nn.Module):
+    """Parameter holder matching the LKA submodule tree
+    (conv0 / conv_spatial / conv1 — reference ``AttentionModule``
+    :179-196)."""
 
     dim: int
 
     @nn.compact
-    def __call__(self, x):
-        u = x
-        attn = _dwconv(x, self.dim, 5, name="conv0")
-        attn = _dwconv(attn, self.dim, 7, dilation=3, name="conv_spatial")
-        attn = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
-                       kernel_init=kaiming_normal_fanout(),
-                       name="conv1")(attn)
-        return u * attn
+    def __call__(self):
+        w0, b0 = _ConvParams((5, 5, 1, self.dim),
+                             kaiming_normal_fanout(), name="conv0")()
+        ws, bs = _ConvParams((7, 7, 1, self.dim),
+                             kaiming_normal_fanout(),
+                             name="conv_spatial")()
+        w1, b1 = _ConvParams((1, 1, self.dim, self.dim),
+                             kaiming_normal_fanout(), name="conv1")()
+        return w0, b0, ws, bs, w1, b1
 
 
 class SpatialAttention(nn.Module):
+    """Parameter holder for the attention half-block; compute lives in
+    ``ops.pallas_van_attn`` (``_sa_core`` XLA composition / ``van_attn``
+    fused kernel) so both paths share one weight tree."""
+
     dim: int
 
     @nn.compact
-    def __call__(self, x):
-        shortcut = x
-        x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
-                    kernel_init=kaiming_normal_fanout(), name="proj_1")(x)
-        # exact (erf) gelu: jittor/torch nn.GELU semantics, not the
-        # tanh approximation — parity-relevant for converted weights
-        x = exact_gelu(x)
-        x = LKA(self.dim, name="sgu")(x)
-        x = nn.Conv(self.dim, (1, 1), dtype=x.dtype,
-                    kernel_init=kaiming_normal_fanout(), name="proj_2")(x)
-        return x + shortcut
+    def __call__(self):
+        d = self.dim
+        wp1, bp1 = _ConvParams((1, 1, d, d), kaiming_normal_fanout(),
+                               name="proj_1")()
+        w0, b0, ws, bs, wc1, bc1 = _LKAParams(d, name="sgu")()
+        wp2, bp2 = _ConvParams((1, 1, d, d), kaiming_normal_fanout(),
+                               name="proj_2")()
+        return (wp1.reshape(d, d), bp1, w0.reshape(25, d), b0,
+                ws.reshape(49, d), bs, wc1.reshape(d, d), bc1,
+                wp2.reshape(d, d), bp2)
+
+
+class _BNAffine(nn.Module):
+    """Declares the same variable tree as ``Norm('bn')``
+    (<name>/BatchNorm_0/{scale,bias} + batch_stats {mean,var}) but
+    returns the folded eval-mode affine (a, b) with y = a*x + b instead
+    of applying it — lets fused kernels fold the norm into adjacent
+    GEMMs while the checkpoint layout stays identical."""
+
+    dim: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                scale = self.param("scale", nn.initializers.ones,
+                                   (self.dim,))
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.dim,))
+                mean = self.variable(
+                    "batch_stats", "mean",
+                    lambda: jnp.zeros((self.dim,), jnp.float32))
+                var = self.variable(
+                    "batch_stats", "var",
+                    lambda: jnp.ones((self.dim,), jnp.float32))
+                return scale, bias, mean.value, var.value
+
+        s, b, m, v = _Inner(self.dim, name="BatchNorm_0")()
+        a = s / jnp.sqrt(v + self.epsilon)
+        return a, b - m * a
 
 
 class _ConvParams(nn.Module):
@@ -96,7 +137,13 @@ class Mlp(nn.Module):
     out: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, affine=None, ls=None):
+        """Plain call: mlp(x) via XLA or the fused kernel.
+
+        With ``affine=(a2, b2)`` and ``ls`` (fused block path), ``x``
+        is the RAW block input: the bn2 affine folds into fc1, the
+        layer scale into fc2, and the kernel returns
+        ``x + ls * mlp(a2*x + b2)`` with the residual added in-VMEM."""
         c = x.shape[-1]
         w1, b1 = _ConvParams((1, 1, c, self.hidden),
                              kaiming_normal_fanout(), name="fc1")()
@@ -105,10 +152,21 @@ class Mlp(nn.Module):
         w2, b2 = _ConvParams((1, 1, self.hidden, self.out),
                              kaiming_normal_fanout(), name="fc2")()
         dt = x.dtype
-        args = (x, w1.reshape(c, self.hidden).astype(dt),
-                b1.astype(dt), wdw.reshape(9, self.hidden).astype(dt),
-                bdw.astype(dt), w2.reshape(self.hidden, self.out)
-                .astype(dt), b2.astype(dt))
+        w1r = w1.reshape(c, self.hidden)
+        w2r = w2.reshape(self.hidden, self.out)
+        if affine is not None:
+            a2, bv = affine
+            w1f = a2[:, None] * w1r
+            b1f = b1 + bv @ w1r
+            w2f = w2r * ls[None, :]
+            b2f = b2 * ls
+            return van_mlp_residual(
+                x, w1f.astype(dt), b1f.astype(dt),
+                wdw.reshape(9, self.hidden).astype(dt), bdw.astype(dt),
+                w2f.astype(dt), b2f.astype(dt))
+        args = (x, w1r.astype(dt), b1.astype(dt),
+                wdw.reshape(9, self.hidden).astype(dt),
+                bdw.astype(dt), w2r.astype(dt), b2.astype(dt))
         # measured (batch 8, bf16, erf gelu): the kernel beats XLA
         # stage-stacked at every stage (25.1->19.5 / 20.8->13.8 /
         # 36.2->26.6 ms for stages 1/2/3) — default ON for TPU
@@ -126,17 +184,33 @@ class VANBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ...ops.pallas_van_attn import _sa_core, van_attn
+
         ls1 = self.param("layer_scale_1",
                          nn.initializers.constant(1e-2), (self.dim,))
         ls2 = self.param("layer_scale_2",
                          nn.initializers.constant(1e-2), (self.dim,))
+        attn_w = SpatialAttention(self.dim, name="attn")()
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")
+
+        fused = ((jax.default_backend() == "tpu"
+                  or os.environ.get("RS_VAN_FUSED_FORCE") == "1")
+                 and not train
+                 and os.environ.get("RS_VAN_FUSED", "1") != "0")
+        if fused:
+            # whole block as two VMEM-resident kernels: bn affines
+            # folded in, layer scales + residuals in-kernel
+            a1, b1 = _BNAffine(self.dim, name="norm1")()
+            x = van_attn(x, a1, b1, *attn_w, ls1)
+            a2, b2 = _BNAffine(self.dim, name="norm2")()
+            return mlp(x, train, affine=(a2, b2), ls=ls2)
+
         h = Norm("bn", name="norm1")(x, train)
-        h = SpatialAttention(self.dim, name="attn")(h)
+        h = _sa_core(h, *attn_w)
         x = x + DropPath(self.drop_path)(ls1.astype(h.dtype) * h,
                                          deterministic=not train)
         h = Norm("bn", name="norm2")(x, train)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                name="mlp")(h, train)
+        h = mlp(h, train)
         x = x + DropPath(self.drop_path)(ls2.astype(h.dtype) * h,
                                          deterministic=not train)
         return x
