@@ -193,10 +193,14 @@ class VANBlock(nn.Module):
         attn_w = SpatialAttention(self.dim, name="attn")()
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")
 
-        fused = ((jax.default_backend() == "tpu"
-                  or os.environ.get("RS_VAN_FUSED_FORCE") == "1")
-                 and not train
-                 and os.environ.get("RS_VAN_FUSED", "1") != "0")
+        # fused attn kernel measured SLOWER than XLA e2e (87 vs 13 ms
+        # stage-1-stacked: the 11-halo overcompute + sublane-shift
+        # relayouts outweigh the pass fusion — docs/perf_notes.md);
+        # kept opt-in for future layout work. The MLP kernel (used via
+        # the non-fused branch) stays default-on.
+        fused = ((os.environ.get("RS_VAN_FUSED") == "1"
+                  and jax.default_backend() == "tpu")
+                 or os.environ.get("RS_VAN_FUSED_FORCE") == "1")             and not train
         if fused:
             # whole block as two VMEM-resident kernels: bn affines
             # folded in, layer scales + residuals in-kernel

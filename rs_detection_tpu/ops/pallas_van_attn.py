@@ -69,8 +69,8 @@ def _ref_attn(x, a1, b1, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1,
 
 
 def _attn_kernel(xp_hbm, vec_ref, wp1_ref, wdw5_ref, wdw7_ref, wc1_ref,
-                 wp2_ref, out_ref, xbuf, sems, *, bh: int, h: int,
-                 w: int, wp: int, c: int):
+                 wp2_ref, out_ref, xbuf, g_ref, d5_ref, sems, *,
+                 bh: int, h: int, w: int, wp: int, c: int):
     j = pl.program_id(1)
     n_i = pl.program_id(0)
     nj = pl.num_programs(1)
@@ -113,37 +113,50 @@ def _attn_kernel(xp_hbm, vec_ref, wp1_ref, wdw5_ref, wdw7_ref, wc1_ref,
     valid = ((row_ids >= HALO) & (row_ids < h + HALO)
              & (col_ids >= HALO) & (col_ids < w + HALO))
 
-    # bn1 affine + proj_1 + gelu on the fully haloed block
-    xb = xv.astype(f32) * a1 + b1
-    g = jnp.dot(xb.reshape(rows * wp, c).astype(xv.dtype), wp1_ref[:],
+    # bn1 affine + proj_1 + gelu on the fully haloed block (bf16
+    # storage — matches the XLA path's bf16 normalize and keeps
+    # Mosaic's live set small; the tap accumulators below are f32)
+    xb = (xv.astype(f32) * a1 + b1).astype(xv.dtype)
+    g = jnp.dot(xb.reshape(rows * wp, c), wp1_ref[:],
                 preferred_element_type=f32) + bp1
     g = exact_gelu(g.astype(xv.dtype)).reshape(rows, wp, c)
-    g = jnp.where(valid, g, 0)
+    # stage g in scratch VMEM: the tap loops below then read SLICES of
+    # a ref (one load live at a time) instead of slicing one big SSA
+    # value — a fully unrolled 25/49-tap value chain made Mosaic's
+    # register allocator spill ~90 MB (measured OOM at stage-1 shapes)
+    g_ref[...] = jnp.where(valid, g, 0)
 
     # dw5 (SAME): valid output region shrinks by 2 per side; compute
-    # on the d5-needed region [rows-4, wp-4] starting at offset 2
-    wdw5 = wdw5_ref[:].astype(f32)
+    # on the d5-needed region [rows-4, wp-4] starting at offset 2.
+    # dx (sublane-dim) slices are relayouts: load each ONCE from the
+    # scratch ref (bounded liveness) and reuse for all dy taps
+    # (leading-dim slices are free). Accumulate in the compute dtype —
+    # bf16 MACs run 2x the f32 VPU rate and XLA's grouped conv is
+    # bf16 end-to-end here too (excess-precision mode).
+    cdt = xv.dtype
+    wdw5 = wdw5_ref[:].astype(cdt)
     r5 = rows - 4
     w5 = wp - 4
     acc = None
     for dx in range(5):
-        sxd = g[:, dx:dx + w5].astype(f32)
+        sxd = g_ref[:, dx:dx + w5]                     # one relayout
         for dy in range(5):
             tap = sxd[dy:dy + r5] * wdw5[dy * 5 + dx]
             acc = tap if acc is None else acc + tap
-    d5 = (acc + bdw5).astype(xv.dtype)
+    d5 = acc + bdw5.astype(cdt)
     # zero outside the image before dw7 (dw7's SAME pad sees zeros)
-    d5 = jnp.where(valid[2:2 + r5, 2:2 + w5], d5, 0)
+    d5_ref[...] = jnp.where(valid[2:2 + r5, 2:2 + w5], d5, 0)
 
     # dw7 dilation 3 (SAME): consumes the remaining 9-halo
-    wdw7 = wdw7_ref[:].astype(f32)
+    wdw7 = wdw7_ref[:].astype(cdt)
     acc = None
     for dx in range(7):
-        sxd = d5[:, dx * 3:dx * 3 + w].astype(f32)
+        sxd = d5_ref[:, dx * 3:dx * 3 + w]             # one relayout
         for dy in range(7):
             tap = sxd[dy * 3:dy * 3 + bh] * wdw7[dy * 7 + dx]
             acc = tap if acc is None else acc + tap
-    d7 = (acc + bdw7).astype(xv.dtype)                # [bh, w, C]
+    d7 = acc + bdw7.astype(cdt)                        # [bh, w, C]
+    g = g_ref[...]
 
     # conv1 (1x1), gate by g, proj_2; sa = p2 + h (inner shortcut);
     # out = x + ls1 * sa (layer-scale + block residual)
@@ -153,7 +166,8 @@ def _attn_kernel(xp_hbm, vec_ref, wp1_ref, wdw5_ref, wdw7_ref, wc1_ref,
         .reshape(bh * w, c)
     a = (g_c * c1).astype(xv.dtype)
     p2 = jnp.dot(a, wp2_ref[:], preferred_element_type=f32) + bp2
-    h_c = xb[HALO:HALO + bh, HALO:HALO + w].reshape(bh * w, c)
+    h_c = xb[HALO:HALO + bh, HALO:HALO + w].astype(f32) \
+        .reshape(bh * w, c)
     sa = p2 + h_c
     out = xv[HALO:HALO + bh, HALO:HALO + w].astype(f32) \
         .reshape(bh * w, c) + ls1 * sa
@@ -161,7 +175,7 @@ def _attn_kernel(xp_hbm, vec_ref, wp1_ref, wdw5_ref, wdw7_ref, wc1_ref,
 
 
 def van_attn(x, a1, b1, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1,
-             wp2, bp2, ls1, block_rows: int = 16,
+             wp2, bp2, ls1, block_rows: int = 32,
              interpret: bool | None = None):
     """Fused attention half-block: [N, H, W, C] -> [N, H, W, C].
 
@@ -198,7 +212,12 @@ def van_attn(x, a1, b1, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1,
         .astype(jnp.float32)
 
     wp = w + 2 * HALO + (-(w + 2 * HALO)) % 16
-    bh = min(block_rows, h)
+    # adaptive block height: cap the haloed block footprint
+    # (rows * wp * cin * 2B) at ~4.2 MB per buffer — large blocks
+    # amortize the halo overcompute (rows/bh) while staying inside
+    # VMEM now that tap liveness is bounded by the scratch-ref loads
+    max_rows = max(2 * HALO + 4, int(2_900_000 / (wp * cin * 2)))
+    bh = min(block_rows, max(4, max_rows - 2 * HALO), h)
     hpad = (-h) % bh
     xp = jnp.pad(x, ((0, 0), (HALO, HALO + hpad),
                      (HALO, wp - w - HALO), (0, 0)))
@@ -231,9 +250,15 @@ def van_attn(x, a1, b1, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1,
         out_shape=jax.ShapeDtypeStruct((n, h + hpad, w, cin), dt),
         scratch_shapes=[
             pltpu.VMEM((2, rows, wp, cin), dt),
+            pltpu.VMEM((rows, wp, cin), dt),            # g
+            pltpu.VMEM((rows - 4, wp - 4, cin), dt),    # d5
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the tap accumulator chains legitimately hold tens of
+            # MB of scoped VMEM at stage-1 shapes; default limit 16M
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, vecs, wp1.astype(dt), wdw5.astype(dt), wdw7.astype(dt),
       wc1.astype(dt), wp2.astype(dt))
