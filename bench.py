@@ -91,6 +91,9 @@ def main():
                          "— a v5e-8 host has 224, where decode "
                          "overlaps fully)")
     ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of 3 inference "
+                         "iters into DIR (see xplane_summary.py)")
     args = ap.parse_args()
 
     import dataclasses
@@ -132,6 +135,14 @@ def main():
     for _ in range(args.warmup):
         dep = fwd(variables, images, targets, dep)
     float(dep)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            dep = jnp.float32(0.0)
+            for _ in range(3):
+                dep = fwd(variables, images, targets, dep)
+            float(dep)
+        print(f"trace -> {args.trace}", file=sys.stderr, flush=True)
 
     # on-device normalize (competition config mean/std, to_bgr=False),
     # fused by XLA into the first backbone conv

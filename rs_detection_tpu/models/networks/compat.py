@@ -75,8 +75,9 @@ def adapt_cascade_head(bbox_head, rbbox_head=None,
     extractors + train_cfg) into one RoITransformerHead cfg.
 
     With ``rbbox_head`` present this is the 2-stage RoI-Transformer
-    cascade; without it (FasterRCNNOBB) the single rotated stage's
-    stds drive both cascade stds."""
+    cascade; without it this is FasterRCNNOBB's single shared-FC
+    rotated stage (reference ``networks/faster_rcnn_obb.py:8``) —
+    ``num_stages=1``, no rotated-align refinement."""
     bbox_head = _plain(bbox_head) or {}
     rbbox_head = _plain(rbbox_head)
     stage2 = rbbox_head if rbbox_head is not None else bbox_head
@@ -85,6 +86,7 @@ def adapt_cascade_head(bbox_head, rbbox_head=None,
         # mmdet-v1 num_classes includes background
         num_classes=int(stage2.get("num_classes", 16)) - 1,
         in_channels=bbox_head.get("in_channels", 256),
+        num_stages=2 if rbbox_head is not None else 1,
     )
     if "KFIoU" in str(stage2.get("type", "")) \
             or (stage2.get("loss_bbox") or {}).get("loss_type") == "kfiou":

@@ -52,12 +52,15 @@ class RoITransformer(RCNN):
 
 @MODELS.register_module()
 class FasterRCNNOBB(RCNN):
-    """hbb RPN + rotated second stage (reference
-    ``faster_rcnn_obb.py:8``) — realized as the single-refinement
-    cascade (stage 2 of the RoI-Transformer applied directly on
-    hbb-derived rrois)."""
+    """hbb RPN + one rotated shared-FC stage (reference
+    ``faster_rcnn_obb.py:8``): horizontal RoIAlign on the hbb
+    proposals, a single FC head classifying and regressing 5-dim rbox
+    deltas (``SharedFCBBoxHeadRbbox``), no rotated-align refinement —
+    i.e. the RoITransformerHead with ``num_stages=1``."""
 
     def setup(self):
+        import dataclasses
+
         from ..backbones.resnet import ResNet
         from ..necks.fpn import FPN
 
@@ -68,5 +71,10 @@ class FasterRCNNOBB(RCNN):
             lambda: FPN(in_channels=(256, 512, 1024, 2048),
                         out_channels=256, num_outs=5))
         self._rpn = _build(self._rpn_cfg(), HEADS, RPNHead)
-        self._bbox_head = _build(_cascade_head_cfg(self), HEADS,
-                                 RoITransformerHead)
+        head = _build(_cascade_head_cfg(self), HEADS,
+                      lambda: RoITransformerHead(num_stages=1))
+        if isinstance(head, RoITransformerHead) and head.num_stages != 1:
+            # modern configs that pass a plain bbox_head section
+            # through still get the reference architecture
+            head = dataclasses.replace(head, num_stages=1)
+        self._bbox_head = head

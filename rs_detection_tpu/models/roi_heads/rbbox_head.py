@@ -75,16 +75,22 @@ class RoITransformerHead(nn.Module):
     # convfc_rbbox_head.py:213 — same architecture, GDLoss-kfiou bbox
     # loss on decoded boxes)
     reg_loss: str = "smooth_l1"
+    # 2 = full RoI-Transformer cascade; 1 = the FasterRCNNOBB
+    # architecture (reference networks/faster_rcnn_obb.py:8 — hbb RPN
+    # proposals, horizontal RoIAlign, one shared-FC stage predicting
+    # rbox deltas; no rotated-align refinement stage)
+    num_stages: int = 2
 
     def setup(self):
         self._h_extractor = SingleRoIExtractor(
             roi_layer=dict(output_size=7, sampling_ratio=2),
             out_channels=self.in_channels,
             featmap_strides=list(self.featmap_strides))
-        self._r_extractor = OrientedSingleRoIExtractor(
+        self._r_extractor = (OrientedSingleRoIExtractor(
             roi_layer=dict(output_size=7, sampling_ratio=2),
             out_channels=self.in_channels,
             featmap_strides=list(self.featmap_strides))
+            if self.num_stages == 2 else None)
         self._coder1 = DeltaXYWHABBoxCoder(
             target_stds=tuple(self.stage1_stds))
         self._coder2 = DeltaXYWHABBoxCoder(
@@ -102,7 +108,8 @@ class RoITransformerHead(nn.Module):
                                       add_gt_as_proposals=True)
         # stage 1 predicts rbox from hroi (class-agnostic)
         self.stage1 = _FCHead(self.num_classes, 5, name="stage1")
-        self.stage2 = _FCHead(self.num_classes, 5, name="stage2")
+        self.stage2 = (_FCHead(self.num_classes, 5, name="stage2")
+                       if self.num_stages == 2 else None)
 
     # -- shared sampling helper (fixed slots, positives first) --------
 
@@ -170,6 +177,9 @@ class RoITransformerHead(nn.Module):
                 pos1.astype(jnp.float32)[:, None],
                 avg_factor=float(b * s)),
         )
+
+        if self.num_stages == 1:
+            return losses
 
         # ---- stage 2: decoded rboxes -> refinement ----
         rboxes1 = self._coder1.decode(
@@ -239,9 +249,19 @@ class RoITransformerHead(nn.Module):
         rois_h = jnp.concatenate(
             [batch_idx[:, None], proposals.reshape(b * p, 4)], 1)
         feats_h = self._h_extractor(feats, rois_h)
-        _, reg1 = self.stage1(feats_h)
+        cls1, reg1 = self.stage1(feats_h)
         rrois = B.hbb2obb(rois_h[:, 1:])
         rboxes1 = self._coder1.decode(rrois, reg1)
+
+        if self.num_stages == 1:
+            # FasterRCNNOBB: classify + decode from the hroi directly
+            scores = jax.nn.softmax(cls1, axis=-1)[:, :-1]
+            sf = jnp.repeat(scale_factor, p)[:, None]
+            obbs = rboxes1.at[:, :4].divide(jnp.maximum(sf, 1e-6))
+            polys = B.rotated_box_to_poly(obbs, best_begin=False)
+            return dict(polys=polys.reshape(b, p, 8),
+                        scores=scores.reshape(b, p, self.num_classes),
+                        valid=prop_valid)
 
         rois_r = jnp.concatenate([batch_idx[:, None], rboxes1], 1)
         feats_r = self._r_extractor(feats, rois_r)

@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--img", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of 3 steps into "
+                         "DIR (summarize with xplane_summary.py)")
     args = ap.parse_args()
 
     import dataclasses
@@ -51,6 +54,12 @@ def main():
     key = jax.random.PRNGKey(2)
     state, metrics = step(state, images, targets, key)
     float(metrics["total_loss"])          # compile + barrier
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                state, metrics = step(state, images, targets, key)
+            float(metrics["total_loss"])
+        print(f"trace -> {args.trace}", flush=True)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state, images, targets, key)

@@ -1,0 +1,120 @@
+"""Summarize a jax.profiler xplane trace: per-op device time.
+
+Aggregates XLA-op event durations on the TPU device planes and prints
+(a) time grouped by HLO category bucket and (b) the top individual ops,
+so ms/step attribution comes from the device timeline rather than
+host-side stage splits (which cost a fresh compile per stage through
+the tunnel).
+
+Usage:
+  python tools/analysis_tools/xplane_summary.py <trace_dir> [--steps 3]
+                                                [--top 40] [--like RE]
+
+<trace_dir> is the directory passed to jax.profiler.trace(); the tool
+finds the newest plugins/profile/*/ *.xplane.pb under it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+from collections import defaultdict
+
+
+def _load_xspace(trace_dir: str):
+    pats = sorted(
+        glob.glob(os.path.join(trace_dir, "plugins", "profile", "*",
+                               "*.xplane.pb")),
+        key=os.path.getmtime)
+    if not pats:
+        sys.exit(f"no xplane.pb under {trace_dir}")
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    xs = xplane_pb2.XSpace()
+    with open(pats[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs, pats[-1]
+
+
+_BUCKETS = [
+    ("conv", re.compile(r"^(%?)(convolution|conv)")),
+    ("dot/matmul", re.compile(r"^(%?)(dot|gemm)")),
+    ("fusion", re.compile(r"^(%?)(loop_|input_|output_)?fusion")),
+    ("custom-call(pallas/etc)", re.compile(r"^(%?)custom-call")),
+    ("copy/transpose", re.compile(r"^(%?)(copy|transpose|bitcast)")),
+    ("gather/scatter", re.compile(r"^(%?)(gather|scatter|dynamic)")),
+    ("sort/topk", re.compile(r"^(%?)(sort|top-k|topk)")),
+    ("reduce", re.compile(r"^(%?)(reduce|all-reduce|reduce-window)")),
+    ("rng", re.compile(r"^(%?)rng")),
+]
+
+
+def _bucket(name: str) -> str:
+    base = name.split(".")[0].lower()
+    for label, pat in _BUCKETS:
+        if pat.match(base):
+            return label
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--steps", type=int, default=3,
+                    help="steps captured in the trace (divides totals)")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--like", default=None,
+                    help="only show ops whose name matches this regex")
+    args = ap.parse_args()
+
+    xs, path = _load_xspace(args.trace_dir)
+    print(f"# {path}")
+    like = re.compile(args.like) if args.like else None
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        meta = plane.event_metadata
+        per_op = defaultdict(float)
+        for line in plane.lines:
+            lname = line.name.lower()
+            # the per-op line; step/module lines would double-count
+            if "xla op" not in lname and "xla_op" not in lname:
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                per_op[name] += ev.duration_ps / 1e9  # -> ms
+        if not per_op:
+            # fall back: deepest line by total nesting level
+            lines = [ln for ln in plane.lines if ln.events]
+            if not lines:
+                continue
+            line = max(lines, key=lambda ln: len(ln.events))
+            for ev in line.events:
+                per_op[meta[ev.metadata_id].name] += ev.duration_ps / 1e9
+        total = sum(per_op.values())
+        print(f"\n== {plane.name}: {total / args.steps:.2f} ms/step "
+              f"device busy ({len(per_op)} distinct ops) ==")
+        by_bucket = defaultdict(float)
+        for name, ms in per_op.items():
+            by_bucket[_bucket(name)] += ms
+        for label, ms in sorted(by_bucket.items(), key=lambda kv: -kv[1]):
+            print(f"  {ms / args.steps:8.2f} ms/step  {label}")
+        print(f"\n  top {args.top} ops (ms/step):")
+        shown = 0
+        for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1]):
+            if like and not like.search(name):
+                continue
+            print(f"  {ms / args.steps:8.3f}  {name[:110]}")
+            shown += 1
+            if shown >= args.top:
+                break
+
+
+if __name__ == "__main__":
+    main()
