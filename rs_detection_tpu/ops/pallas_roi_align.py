@@ -251,19 +251,22 @@ def _sample_coords(rois, lvl, strides, h_tab, w_tab, p: int, s: int):
     yy = (grid[None, :] / p - 0.5) * rh[:, None]
     ct = jnp.cos(theta)[:, None, None]
     st = jnp.sin(theta)[:, None, None]
-    xg = xx[:, None, :]
-    yg = yy[:, :, None]
-    x = xg * ct + yg * st + cx[:, None, None]            # [R, G, G]
-    y = yg * ct - xg * st + cy[:, None, None]
 
-    rn = rois.shape[0]
+    # bin-major sample order via STATIC index gathers (not a
+    # [R, G, G] -> transpose -> reshape chain): a transpose here makes
+    # XLA carry an R-minor layout through the downstream A-matrix
+    # build, which then costs a [R, PP, AREA] relayout copy (measured
+    # 8.3 ms at 16k rois) right before the kernel's row-major input.
+    import numpy as _np
 
-    def binmajor(v):                       # [R, G, G] -> [R, PP, s*s]
-        return v.reshape(rn, p, s, p, s).transpose(0, 1, 3, 2, 4) \
-            .reshape(rn, p * p, s * s)
-
-    x = binmajor(x)
-    y = binmajor(y)
+    b_iy, b_ix = _np.divmod(_np.arange(p * p), p)        # bin (y, x)
+    j_iy, j_ix = _np.divmod(_np.arange(s * s), s)        # sub-sample
+    ix = (b_ix[:, None] * s + j_ix[None, :])             # [PP, s*s]
+    iy = (b_iy[:, None] * s + j_iy[None, :])
+    gx = xx[:, ix]                                       # [R, PP, s*s]
+    gy = yy[:, iy]
+    x = gx * ct + gy * st + cx[:, None, None]
+    y = gy * ct - gx * st + cy[:, None, None]
     h_r = h_tab[lvl].astype(x.dtype)[:, None, None]
     w_r = w_tab[lvl].astype(x.dtype)[:, None, None]
     live = ~((y < -1.0) | (y > h_r) | (x < -1.0) | (x > w_r))

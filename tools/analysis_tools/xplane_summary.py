@@ -31,31 +31,33 @@ def _load_xspace(trace_dir: str):
         key=os.path.getmtime)
     if not pats:
         sys.exit(f"no xplane.pb under {trace_dir}")
-    try:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    except ImportError:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     xs = xplane_pb2.XSpace()
     with open(pats[-1], "rb") as f:
         xs.ParseFromString(f.read())
     return xs, pats[-1]
 
 
+_TYPE_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+([a-z][a-z0-9-]*)\(")
+
 _BUCKETS = [
-    ("conv", re.compile(r"^(%?)(convolution|conv)")),
-    ("dot/matmul", re.compile(r"^(%?)(dot|gemm)")),
-    ("fusion", re.compile(r"^(%?)(loop_|input_|output_)?fusion")),
-    ("custom-call(pallas/etc)", re.compile(r"^(%?)custom-call")),
-    ("copy/transpose", re.compile(r"^(%?)(copy|transpose|bitcast)")),
-    ("gather/scatter", re.compile(r"^(%?)(gather|scatter|dynamic)")),
-    ("sort/topk", re.compile(r"^(%?)(sort|top-k|topk)")),
-    ("reduce", re.compile(r"^(%?)(reduce|all-reduce|reduce-window)")),
-    ("rng", re.compile(r"^(%?)rng")),
+    ("conv", re.compile(r"^(convolution|conv)")),
+    ("dot/matmul", re.compile(r"^(dot|gemm)")),
+    ("fusion", re.compile(r"^fusion")),
+    ("custom-call(pallas/fused)", re.compile(r"^custom-call")),
+    ("copy/transpose", re.compile(r"^(copy|transpose|bitcast)")),
+    ("gather/scatter", re.compile(r"^(gather|scatter|dynamic)")),
+    ("sort/topk/while", re.compile(r"^(sort|top-k|topk|while)")),
+    ("reduce", re.compile(r"^(reduce|all-reduce|reduce-window)")),
+    ("rng", re.compile(r"^rng")),
 ]
 
 
 def _bucket(name: str) -> str:
-    base = name.split(".")[0].lower()
+    # classify by the HLO op TYPE parsed from "%name = shape type(...)"
+    # (op names like %mlp.38 are call-site labels, not types)
+    m = _TYPE_RE.search(name)
+    base = (m.group(1) if m else name.split(".")[0].lstrip("%")).lower()
     for label, pat in _BUCKETS:
         if pat.match(base):
             return label
@@ -83,7 +85,11 @@ def main():
         per_op = defaultdict(float)
         for line in plane.lines:
             lname = line.name.lower()
-            # the per-op line; step/module lines would double-count
+            # the serialized per-op line. "Async XLA Ops" spans overlap
+            # compute (span != cost) and "XLA Modules"/"Steps" would
+            # double-count.
+            if "async" in lname:
+                continue
             if "xla op" not in lname and "xla_op" not in lname:
                 continue
             for ev in line.events:
