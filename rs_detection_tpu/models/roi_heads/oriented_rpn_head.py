@@ -28,8 +28,8 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
-from ...ops.nms import (_greedy_suppress, bbox_overlaps_hbb,
-                         fast_top_k)
+from ...ops.nms import (_greedy_suppress_mask, fast_top_k,
+                         overlap_gt_mask_hbb)
 from ...utils.registry import HEADS
 from ..boxes.anchor_generator import AnchorGenerator
 from ..boxes.anchor_target import anchor_target_single
@@ -225,8 +225,8 @@ class OrientedRPNHead(nn.Module):
             hbb = hbb + (lvl_ids * (span + 1.0))[:, None]
 
             order = jnp.argsort(-jnp.where(ok, scores, -jnp.inf))
-            iou = bbox_overlaps_hbb(hbb[order], hbb[order])
-            keep_sorted = _greedy_suppress(iou, ok[order], self.nms_thresh)
+            over = overlap_gt_mask_hbb(hbb[order], self.nms_thresh)
+            keep_sorted = _greedy_suppress_mask(over, ok[order])
             keep = jnp.zeros_like(ok).at[order].set(keep_sorted)
 
             kept_scores = jnp.where(keep, scores, -jnp.inf)

@@ -22,7 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops import box_ops as B
-from ...ops.nms import (_greedy_suppress, bbox_overlaps_hbb,
+from ...ops.nms import (_greedy_suppress_mask, overlap_gt_mask_hbb,
                          fast_top_k)
 from ...utils.registry import HEADS
 from ..boxes.anchor_generator import AnchorGenerator
@@ -153,9 +153,8 @@ class RPNHead(nn.Module):
             span = proposals.max() - proposals.min()
             shifted = proposals + (lvl_ids * (span + 1.0))[:, None]
             order = jnp.argsort(-jnp.where(ok, scores, -jnp.inf))
-            iou = bbox_overlaps_hbb(shifted[order], shifted[order])
-            keep_sorted = _greedy_suppress(iou, ok[order],
-                                           self.nms_thresh)
+            over = overlap_gt_mask_hbb(shifted[order], self.nms_thresh)
+            keep_sorted = _greedy_suppress_mask(over, ok[order])
             keep = jnp.zeros_like(ok).at[order].set(keep_sorted)
             kept = jnp.where(keep, scores, -jnp.inf)
             out_s, out_i = jax.lax.top_k(kept, min(self.nms_post, cap))

@@ -33,6 +33,49 @@ def bbox_overlaps_hbb(boxes1, boxes2, mode: str = "iou", offset: float = 0.0):
     return xp.where(denom > 0, inter / xp.where(denom > 0, denom, 1.0), 0.0)
 
 
+def overlap_gt_mask_hbb(boxes: jnp.ndarray, thresh,
+                        offset: float = 0.0) -> jnp.ndarray:
+    """Pairwise boolean ``iou > thresh`` for hbbs WITHOUT materializing
+    the f32 IoU matrix: ``inter/(a1+a2-inter) > t`` is rewritten
+    division-free as ``inter*(1+t) > t*(a1+a2)``, and every pairwise
+    intermediate is a scalar-component expression (no trailing
+    ``[N, N, 2]`` stack), so XLA emits ONE fused pass whose only output
+    is the packed bool matrix — at RPN scale ([8, 4096, 4096]) this
+    saves a 537 MB f32 intermediate round-trip per image batch."""
+    x1, y1, x2, y2 = (boxes[..., :, k] for k in range(4))
+    ix = (jnp.minimum(x2[..., :, None], x2[..., None, :])
+          - jnp.maximum(x1[..., :, None], x1[..., None, :]) + offset)
+    iy = (jnp.minimum(y2[..., :, None], y2[..., None, :])
+          - jnp.maximum(y1[..., :, None], y1[..., None, :]) + offset)
+    inter = jnp.clip(ix, 0, None) * jnp.clip(iy, 0, None)
+    area = (x2 - x1 + offset) * (y2 - y1 + offset)
+    return inter * (1.0 + thresh) > thresh * (
+        area[..., :, None] + area[..., None, :])
+
+
+def _greedy_suppress_mask(over: jnp.ndarray, order_valid: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Greedy NMS from a boolean pairwise-overlap matrix ``over``
+    (``iou > thresh``) of score-sorted boxes — see ``_greedy_suppress``
+    for the Jacobi-fixpoint design notes."""
+    n = over.shape[0]
+    lower = jnp.tril(jnp.ones((n, n), bool), k=-1).T
+    m = over & lower & order_valid[:, None] & order_valid[None, :]
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < n)
+
+    def body(state):
+        keep, _, it = state
+        sup = jnp.any(m & keep[:, None], axis=0)
+        return order_valid & jnp.logical_not(sup), keep, it + 1
+
+    init = (order_valid, jnp.zeros((n,), bool), jnp.asarray(0))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
+
+
 def _greedy_suppress(iou: jnp.ndarray, order_valid: jnp.ndarray,
                      thresh: float) -> jnp.ndarray:
     """Greedy suppression over score-sorted boxes, TPU-parallel.
@@ -49,24 +92,7 @@ def _greedy_suppress(iou: jnp.ndarray, order_valid: jnp.ndarray,
     and the while_loop exits exactly at convergence, so this is both
     exact and ~3 orders of magnitude fewer sequential steps.
     """
-    n = iou.shape[0]
-    # m[j, i] True iff j < i (higher-scored) and overlaps i past thresh
-    lower = jnp.tril(jnp.ones((n, n), bool), k=-1).T
-    m = (iou > thresh) & lower & order_valid[:, None] \
-        & order_valid[None, :]
-
-    def cond(state):
-        keep, prev, it = state
-        return jnp.any(keep != prev) & (it < n)
-
-    def body(state):
-        keep, _, it = state
-        sup = jnp.any(m & keep[:, None], axis=0)
-        return order_valid & jnp.logical_not(sup), keep, it + 1
-
-    init = (order_valid, jnp.zeros((n,), bool), jnp.asarray(0))
-    keep, _, _ = jax.lax.while_loop(cond, body, init)
-    return keep
+    return _greedy_suppress_mask(iou > thresh, order_valid)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -81,6 +81,17 @@ _DEBUG = os.environ.get("RS_PALLAS_ROI_DEBUG", "")   # "nodma"|"nomatmul"
 # window buffer slots (prefetch depth = slots - 1); 2 = classic double
 # buffering
 _NSLOTS = max(2, int(os.environ.get("RS_ROI_SLOTS", "2")))
+# Store the interpolation matrix A as uint8 fixed-point (x255). A's
+# entries are bilinear weights in [0, 1] and zeros quantize exactly, so
+# the only error is <=0.5/255 on the <=16 nonzero cols of each row —
+# below bf16 feature noise. The win is bandwidth: A is the largest
+# tensor in the extractor ([R, 49, 1536]), and XLA materializes it
+# R-minor then relayout-copies it row-major for the kernel (R=16000 is
+# a pad-free lane dim, so every layout the build fusion likes is
+# R-minor); uint8 halves the build write, the 4.8 GB relayout copy and
+# the kernel's A reads vs bf16. The 1/255 scale is applied to the
+# pooled output after the matmul (linearity), not per-element.
+_A_U8 = os.environ.get("RS_ROI_A_U8", "1") != "0"
 
 
 def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
@@ -180,12 +191,18 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
                         sems.at[slot, k]).wait()
         a = a_ref[k]                                     # [PP, AREA]
         w = win[slot, k].reshape(win_h * win_w, -1)      # [AREA, C]
+        u8 = a.dtype == jnp.uint8
+        if u8:
+            # Mosaic has no direct u8->bf16 cast; chain via i32/f32
+            a = a.astype(jnp.int32).astype(jnp.float32).astype(w.dtype)
         if _DEBUG == "nomatmul":
             pooled = (w[:49] * a[:, :1].astype(w.dtype)).astype(
                 jnp.float32)
         else:
             pooled = jnp.dot(a, w.astype(a.dtype),
                              preferred_element_type=jnp.float32)
+        if u8:
+            pooled = pooled * (1.0 / 255.0)
         out_ref[k] = pooled.astype(out_ref.dtype)
 
 
@@ -214,9 +231,11 @@ def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool,
             pltpu.SemaphoreType.DMA((_NSLOTS, rb)),
         ],
     )
+    if a.dtype != jnp.uint8:
+        a = a.astype(dt)
     itemsize = jnp.dtype(dt).itemsize
     win_bytes = _NSLOTS * rb * win_h * win_w * cp * itemsize
-    a_bytes = 2 * rb * pp * area * itemsize
+    a_bytes = 2 * rb * pp * area * jnp.dtype(a.dtype).itemsize
     out_bytes = 2 * rb * pp * cp * 4
     return pl.pallas_call(
         functools.partial(_pool_kernel, num_levels=num_levels, rb=rb,
@@ -229,7 +248,7 @@ def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool,
             vmem_limit_bytes=min(win_bytes + a_bytes + out_bytes
                                  + 4 * 1024 * 1024, 100 * 1024 * 1024)),
         interpret=interpret,
-    )(meta1, meta2, a.astype(dt), *feats)
+    )(meta1, meta2, a, *feats)
 
 
 def _sample_coords(rois, lvl, strides, h_tab, w_tab, p: int, s: int):
@@ -302,8 +321,14 @@ def _build_a(sx, sy, win_h: int, win_w: int, s: int, dt):
         term = wy[:, :, :, None] * wx[:, :, None, :]
         a = term if a is None else a + term
     r, pp = sx.shape[0], sx.shape[1]
-    return (a * (1.0 / (s * s))).astype(dt).reshape(r, pp,
-                                                    win_h * win_w)
+    a = a * (1.0 / (s * s))
+    # u8 only on the bf16 (inference) path: f32 callers get exact
+    # bilinear weights
+    if _A_U8 and jnp.dtype(dt) == jnp.bfloat16:
+        a = jnp.round(a * 255.0).astype(jnp.uint8)
+    else:
+        a = a.astype(dt)
+    return a.reshape(r, pp, win_h * win_w)
 
 
 def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
