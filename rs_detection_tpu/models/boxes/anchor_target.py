@@ -85,7 +85,18 @@ def anchor_target_single(anchors: jnp.ndarray,
     # reference oriented_rpn_head.py:300-316).
     matched = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
     encode_gts = gt_bboxes if gt_bboxes_encode is None else gt_bboxes_encode
-    matched_gts = encode_gts[matched]
+    g = encode_gts.shape[0]
+    if g <= 128:
+        # one-hot contraction instead of a per-anchor row gather: TPU
+        # gathers are issue-bound (~7 ns/row — 17 ms/step for the
+        # 611k-anchor RPN at batch 4) while the [A, G] one-hot einsum
+        # against a tiny GT table fuses into one cheap pass
+        onehot = matched[:, None] == jnp.arange(g, dtype=matched.dtype)
+        matched_gts = jnp.einsum(
+            "ag,gd->ad", onehot.astype(encode_gts.dtype), encode_gts)
+    else:
+        onehot = None
+        matched_gts = encode_gts[matched]
     targets = encode_fn(anchors, matched_gts)
     d = targets.shape[-1]
     bbox_weights = jnp.where(pos_mask[:, None],
@@ -95,7 +106,12 @@ def anchor_target_single(anchors: jnp.ndarray,
     if gt_labels is None:
         labels = jnp.where(pos_mask, 1, 0).astype(jnp.int32)
     else:
-        labels = jnp.where(pos_mask, gt_labels[matched], 0).astype(jnp.int32)
+        if onehot is not None:
+            matched_labels = (onehot * gt_labels[None, :].astype(
+                jnp.int32)).sum(axis=1)
+        else:
+            matched_labels = gt_labels[matched]
+        labels = jnp.where(pos_mask, matched_labels, 0).astype(jnp.int32)
     pw = 1.0 if pos_weight <= 0 else pos_weight
     label_weights = jnp.where(pos_mask, pw,
                               jnp.where(neg_mask, 1.0, 0.0))

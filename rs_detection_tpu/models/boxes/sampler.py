@@ -79,15 +79,18 @@ class RandomSampler:
             num_expected_neg = jnp.minimum(
                 num_expected_neg,
                 jnp.maximum(1, self.neg_pos_ub * num_pos))
-        # dynamic negative budget: rank random scores, keep the first
-        # num_expected_neg among negatives
+        # dynamic negative budget: keep the best num_expected_neg
+        # random scores among negatives. The budget is bounded by
+        # self.num, so a k=num top_k + tiny scatter replaces the full
+        # argsort + [A] rank scatter (9.6 + 11 ms/step at 611k RPN
+        # anchors, batch 4).
         n = neg_cand.shape[0]
         scores = jax.random.uniform(k_neg, (n,))
         scores = jnp.where(neg_cand, scores, -1.0)
-        order = jnp.argsort(-scores)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n,
-                                                        dtype=jnp.int32))
-        neg = neg_cand & (rank < num_expected_neg)
+        kmax = min(self.num, n)
+        vals, idx = jax.lax.top_k(scores, kmax)
+        take = (jnp.arange(kmax) < num_expected_neg) & (vals > -1.0)
+        neg = jnp.zeros((n,), bool).at[idx].set(take)
         return pos, neg
 
 
