@@ -44,7 +44,8 @@ def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
 
 def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
                 b2_ref, out_ref, xbuf, sems, *, bh: int, h: int, w: int,
-                wp: int, c: int, ch: int, residual: bool = False):
+                wp: int, c: int, ch: int, residual: bool = False,
+                split: int = 1):
     n_i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -72,46 +73,71 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
 
     f32 = jnp.float32
     xv = xbuf[slot]                                     # [rows, wp, Cin]
-    h1 = jnp.dot(xv.reshape(rows * wp, xv.shape[-1]), w1_ref[:],
-                 preferred_element_type=f32)
-    h1 = (h1 + b1_ref[0].astype(f32)).astype(xv.dtype) \
-        .reshape(rows, wp, ch)
-    # zero the dw conv's SAME padding on the HIDDEN tensor: fc1 of a
-    # zero-padded x row/col is bias, not zero
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 0) \
-        + j * bh
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 1), 1)
-    valid = ((row_ids >= 1) & (row_ids <= h)
-             & (col_ids >= 1) & (col_ids <= w))
-    h1 = jnp.where(valid, h1, 0)
+
+    def fc1(r0, nr):
+        """fc1 + bias + SAME-pad zeroing for hidden rows [r0, r0+nr)
+        of this block's (bh + 2)-row haloed window."""
+        xs = xv[r0:r0 + nr]
+        h1 = jnp.dot(xs.reshape(nr * wp, xs.shape[-1]), w1_ref[:],
+                     preferred_element_type=f32)
+        h1 = (h1 + b1_ref[0].astype(f32)).astype(xv.dtype) \
+            .reshape(nr, wp, ch)
+        # zero the dw conv's SAME padding on the HIDDEN tensor: fc1 of
+        # a zero-padded x row/col is bias, not zero
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, wp, 1), 0) \
+            + j * bh + r0
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (nr, wp, 1), 1)
+        valid = ((row_ids >= 1) & (row_ids <= h)
+                 & (col_ids >= 1) & (col_ids <= w))
+        return jnp.where(valid, h1, 0)
 
     wdw = wdw_ref[:].astype(f32)                        # [9, Ch]
-    acc = None
-    # dx (sublane) shifts are relayouts — hoist them so each of the 3
-    # shifted copies serves all 3 dy-taps (leading-dim slices are free)
-    for dx in range(3):
-        sxd = h1[:, dx:dx + w].astype(f32)              # [rows, w, Ch]
-        for dy in range(3):
-            tap = sxd[dy:dy + bh] * wdw[dy * 3 + dx]
-            acc = tap if acc is None else acc + tap
-    # exact (erf) gelu in f32: Mosaic lowers neither erf nor erfc, so
-    # use the Abramowitz–Stegun 7.1.26 polynomial (max err 1.5e-7 —
-    # below bf16 resolution, i.e. bit-identical to exact after cast)
-    hpre = acc + bdw_ref[0].astype(f32)
-    z = hpre * np.float32(0.7071067811865476)
-    sgn = jnp.sign(z)
-    za = jnp.abs(z)
-    t = 1.0 / (1.0 + np.float32(0.3275911) * za)
-    poly = t * (np.float32(0.254829592) + t * (
-        np.float32(-0.284496736) + t * (np.float32(1.421413741) + t * (
-            np.float32(-1.453152027) + t * np.float32(1.061405429)))))
-    erf = sgn * (1.0 - poly * jnp.exp(-za * za))
-    h2 = (hpre * 0.5 * (1.0 + erf)).astype(xv.dtype)
 
-    out = jnp.dot(h2.reshape(bh * w, ch), w2_ref[:],
-                  preferred_element_type=f32)
-    out = out + b2_ref[0].astype(f32)
-    out = out.reshape(bh, w, c)
+    def dw_gelu_fc2(h1, nr):
+        """9-tap dw + exact gelu + fc2 over nr OUTPUT rows given the
+        (nr + 2)-row hidden slab h1."""
+        acc = None
+        # dx (sublane) shifts are relayouts — hoist them so each of
+        # the 3 shifted copies serves all 3 dy-taps (leading-dim
+        # slices are free)
+        for dx in range(3):
+            sxd = h1[:, dx:dx + w].astype(f32)          # [nr+2, w, Ch]
+            for dy in range(3):
+                tap = sxd[dy:dy + nr] * wdw[dy * 3 + dx]
+                acc = tap if acc is None else acc + tap
+        # exact (erf) gelu in f32: Mosaic lowers neither erf nor
+        # erfc, so use the Abramowitz–Stegun 7.1.26 polynomial (max
+        # err 1.5e-7 — below bf16 resolution, i.e. bit-identical to
+        # exact after cast)
+        hpre = acc + bdw_ref[0].astype(f32)
+        z = hpre * np.float32(0.7071067811865476)
+        sgn = jnp.sign(z)
+        za = jnp.abs(z)
+        t = 1.0 / (1.0 + np.float32(0.3275911) * za)
+        poly = t * (np.float32(0.254829592) + t * (
+            np.float32(-0.284496736) + t * (np.float32(1.421413741)
+                + t * (np.float32(-1.453152027)
+                       + t * np.float32(1.061405429)))))
+        erf = sgn * (1.0 - poly * jnp.exp(-za * za))
+        h2 = (hpre * 0.5 * (1.0 + erf)).astype(xv.dtype)
+        out = jnp.dot(h2.reshape(nr * w, ch), w2_ref[:],
+                      preferred_element_type=f32)
+        return out + b2_ref[0].astype(f32)
+
+    if split <= 1:
+        h1 = fc1(0, rows)
+        out = dw_gelu_fc2(h1, bh).reshape(bh, w, c)
+    else:
+        # split-phase software pipeline: issue fc1 (MXU) of half k+1
+        # before the dw/gelu (VPU) of half k so Mosaic's scheduler can
+        # dual-issue the independent matrix and vector chains
+        hb = bh // 2
+        h1a = fc1(0, hb + 2)
+        h1b = fc1(hb, rows - hb)
+        outa = dw_gelu_fc2(h1a, hb)
+        outb = dw_gelu_fc2(h1b, bh - hb)
+        out = jnp.concatenate([outa.reshape(hb, w, c),
+                               outb.reshape(bh - hb, w, c)], axis=0)
     if residual:
         # the block's residual add rides along for free: the x block
         # (center rows/cols, un-padded channels) is already in VMEM
@@ -139,9 +165,11 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
     xp = jnp.pad(x, ((0, 0), (1, 1 + hpad), (1, wp - w - 1), (0, 0)))
     grid = (n, (h + hpad) // bh)
 
+    import os
+    split = int(os.environ.get("RS_VAN_MLP_SPLIT", "1"))
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, bh=bh, h=h, w=w, wp=wp, c=c,
-                          ch=ch, residual=residual),
+                          ch=ch, residual=residual, split=split),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
