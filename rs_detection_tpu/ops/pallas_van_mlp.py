@@ -193,7 +193,12 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
             pltpu.VMEM((2, bh + 2, wp, cin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the split-phase pipeline holds two hidden half-slabs (+
+            # their f32 dw/gelu temporaries) live at once — past the
+            # default 16M scoped-vmem guard
+            vmem_limit_bytes=48 * 1024 * 1024 if split > 1 else None),
         interpret=jax.default_backend() == "cpu",
     )(xp, w1.astype(x.dtype), b1.astype(jnp.float32)[None],
       wdw.astype(x.dtype), bdw.astype(jnp.float32)[None],

@@ -139,6 +139,72 @@ class TestYoloDataset:
         assert images.max() <= 1.0
         assert targets["hboxes"].shape == (2, 16, 4)
 
+    def test_full_augmentation_pipeline(self, tmp_path):
+        """Perspective + mosaic9 + mixup + cutout paths (reference
+        LoadImagesAndLabels options) all produce valid samples."""
+        import random as _random
+
+        import rs_detection_tpu.data as D
+
+        (tmp_path / "images").mkdir()
+        rng = np.random.RandomState(1)
+        infos = []
+        for i in range(6):
+            name = f"im_{i}.png"
+            Image.fromarray((rng.rand(80, 96, 3) * 255).astype(
+                np.uint8)).save(tmp_path / "images" / name)
+            infos.append(dict(
+                filename=name, width=96, height=80,
+                ann=dict(hboxes=np.array([[8, 8, 60, 48],
+                                          [20, 30, 70, 70]], np.float32),
+                         labels=np.array([1, 2], np.int64))))
+        with open(tmp_path / "labels.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        ds = D.YoloDataset(
+            dataset_dir=str(tmp_path), img_size=64, batch_size=2,
+            max_gt=16,
+            random_perspective=dict(degrees=10, translate=0.1,
+                                    scale=0.1, shear=5,
+                                    perspective=0.0005),
+            mixup_prob=1.0, mosaic9_prob=0.5, cutout_prob=1.0)
+        _random.seed(0)
+        for i in range(4):
+            img, tgt = ds[i % len(ds)]
+            assert img.shape == (64, 64, 3)
+            assert np.isfinite(img).all() and img.max() <= 1.0
+            b = tgt["hboxes"]
+            if b.size:
+                assert (b[:, 2] >= b[:, 0]).all()
+                assert (b[:, 3] >= b[:, 1]).all()
+                assert b.min() >= 0 and b.max() <= 64
+
+    def test_letterbox_non_mosaic(self, tmp_path):
+        import rs_detection_tpu.data as D
+        from rs_detection_tpu.data.yolo import letterbox
+
+        (tmp_path / "images").mkdir()
+        Image.fromarray(np.zeros((40, 96, 3), np.uint8)).save(
+            tmp_path / "images" / "a.png")
+        infos = [dict(filename="a.png", width=96, height=40,
+                      ann=dict(hboxes=np.array([[0, 0, 96, 40]],
+                                               np.float32),
+                               labels=np.array([1], np.int64)))]
+        with open(tmp_path / "labels.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        ds = D.YoloDataset(dataset_dir=str(tmp_path), img_size=64,
+                           batch_size=1, max_gt=4, mosaic=False,
+                           hsv=False, flip=False)
+        img, tgt = ds[0]
+        assert img.shape == (64, 64, 3)
+        # aspect preserved: content is 64 wide, 64*40/96 tall, centered
+        b = tgt["hboxes"][0]
+        assert abs((b[2] - b[0]) - 64) < 2
+        assert abs((b[3] - b[1]) - 64 * 40 / 96) < 2
+        # standalone letterbox: stride-aligned auto padding
+        out, ratio, (dw, dh) = letterbox(
+            np.zeros((40, 96, 3), np.uint8), 64, auto=True, stride=32)
+        assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+
 
 class TestVisualization:
     def test_draw(self, tmp_path):
