@@ -65,6 +65,46 @@ class TestMesh:
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+    def test_dp_flagship_detector_matches_single(self):
+        """8-device DP train step == 1-device for the REAL detector
+        graph (tiny Oriented R-CNN: assigner + sampler + RoIAlign +
+        both heads), not just a Dense toy — loss and updated params
+        must agree leaf-for-leaf."""
+        import optax
+
+        from __graft_entry__ import _dummy_targets, _flagship
+        from rs_detection_tpu.parallel.train_step import (
+            create_mesh, create_train_state, make_train_step)
+
+        model = _flagship(tiny=True)
+        b, img = 8, 64
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(b, img, img, 3).astype(np.float32))
+        targets = _dummy_targets(b, img)
+        variables = jax.jit(lambda i, t: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampler": jax.random.PRNGKey(1)}, i, t))(images, targets)
+        tx = optax.sgd(0.01)
+
+        mesh = create_mesh(8)
+        step_dp = make_train_step(model, tx, mesh=mesh, donate=False)
+        state = create_train_state(model, variables, tx)
+        with mesh:
+            s_dp, m_dp = step_dp(state, images, targets,
+                                 jax.random.PRNGKey(2))
+
+        step_1 = make_train_step(model, tx, mesh=None, donate=False)
+        state1 = create_train_state(model, variables, tx)
+        s_1, m_1 = step_1(state1, images, targets, jax.random.PRNGKey(2))
+
+        assert np.isfinite(float(m_dp["total_loss"]))
+        assert abs(float(m_dp["total_loss"])
+                   - float(m_1["total_loss"])) < 1e-4
+        for a, b2 in zip(jax.tree_util.tree_leaves(s_dp.params),
+                         jax.tree_util.tree_leaves(s_1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=1e-4, rtol=1e-3)
+
 class TestOptims:
     def test_sgd_with_schedule(self):
         import optax
