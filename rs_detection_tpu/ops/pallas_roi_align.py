@@ -74,6 +74,16 @@ SX_ALIGN = 8
 _S_EXT_X = 14.0
 _S_EXT_Y = 22.0
 
+# Micro tier: the bulk of DOTA objects span only ~8-11 feature pixels
+# at their assigned level (per-axis sample extent <= 13), so a
+# [16, 32] DMA (H has no Mosaic alignment constraint, W shared with
+# the small tier) cuts their window traffic another 33% vs the small
+# tier. The kernel is DMA-bound (docs/perf_notes.md probes), so this
+# lands directly on the critical path.
+MWIN_H = 16
+M_OFF_Y = 8
+_M_EXT_Y = 13.0
+
 
 import os
 
@@ -112,13 +122,13 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
             r = prog * rb + k
             m1 = meta1_ref[r]
             m2 = meta2_ref[r]
-            b = m1 // (2 * num_levels)
-            lvl = (m1 // 2) - b * num_levels
-            small = m1 - (m1 // 2) * 2
+            b = m1 // (4 * num_levels)
+            lvl = (m1 // 4) - b * num_levels
+            tier = m1 - (m1 // 4) * 4
             y0 = m2 // 8192
             x0 = m2 - y0 * 8192
             for level in range(num_levels):
-                @pl.when((lvl == level) & (small == 0))
+                @pl.when((lvl == level) & (tier == 0))
                 def _(level=level):
                     # x origins are snapped to x_align on the host
                     # side; the hint lets Mosaic prove the HBM slice
@@ -132,18 +142,20 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
                         sems.at[slot, k]).start()
 
                 if sub is not None:
-                    swin_h, swin_w, off_y, off_x, sx_align = sub
-
-                    @pl.when((lvl == level) & (small == 1))
-                    def _(level=level):
-                        pltpu.make_async_copy(
-                            feat_refs[level].at[
-                                b, pl.ds(y0, swin_h),
-                                pl.ds(pl.multiple_of(x0, sx_align),
-                                      swin_w), :],
-                            win.at[slot, k, pl.ds(off_y, swin_h),
-                                   pl.ds(off_x, swin_w), :],
-                            sems.at[slot, k]).start()
+                    for t_id, (twin_h, twin_w, off_y, off_x,
+                               tx_align) in enumerate(sub, start=1):
+                        @pl.when((lvl == level) & (tier == t_id))
+                        def _(level=level, twin_h=twin_h,
+                              twin_w=twin_w, off_y=off_y, off_x=off_x,
+                              tx_align=tx_align):
+                            pltpu.make_async_copy(
+                                feat_refs[level].at[
+                                    b, pl.ds(y0, twin_h),
+                                    pl.ds(pl.multiple_of(x0, tx_align),
+                                          twin_w), :],
+                                win.at[slot, k, pl.ds(off_y, twin_h),
+                                       pl.ds(off_x, twin_w), :],
+                                sems.at[slot, k]).start()
 
     warm = _NSLOTS - 1
     slot = jax.lax.rem(i, _NSLOTS)
@@ -166,11 +178,11 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
     for k in range(rb):
         if _DEBUG != "nodma":
             m1 = meta1_ref[i * rb + k]
-            small = m1 - (m1 // 2) * 2
+            tier = m1 - (m1 // 4) * 4
             # wait via a descriptor with the same dst/semaphore shape
             # as the copy that was started (src ref is irrelevant to
             # the wait; only the byte count must match)
-            @pl.when(small == 0)
+            @pl.when(tier == 0)
             def _():
                 pltpu.make_async_copy(
                     feat_refs[0].at[0, pl.ds(0, win_h),
@@ -179,16 +191,17 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
                     sems.at[slot, k]).wait()
 
             if sub is not None:
-                swin_h, swin_w, off_y, off_x, _sxa = sub
-
-                @pl.when(small == 1)
-                def _():
-                    pltpu.make_async_copy(
-                        feat_refs[0].at[0, pl.ds(0, swin_h),
-                                        pl.ds(0, swin_w), :],
-                        win.at[slot, k, pl.ds(off_y, swin_h),
-                               pl.ds(off_x, swin_w), :],
-                        sems.at[slot, k]).wait()
+                for t_id, (twin_h, twin_w, off_y, off_x,
+                           _txa) in enumerate(sub, start=1):
+                    @pl.when(tier == t_id)
+                    def _(twin_h=twin_h, twin_w=twin_w, off_y=off_y,
+                          off_x=off_x):
+                        pltpu.make_async_copy(
+                            feat_refs[0].at[0, pl.ds(0, twin_h),
+                                            pl.ds(0, twin_w), :],
+                            win.at[slot, k, pl.ds(off_y, twin_h),
+                                   pl.ds(off_x, twin_w), :],
+                            sems.at[slot, k]).wait()
         a = a_ref[k]                                     # [PP, AREA]
         w = win[slot, k].reshape(win_h * win_w, -1)      # [AREA, C]
         u8 = a.dtype == jnp.uint8
@@ -212,7 +225,8 @@ def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool,
     """a: [R, PP, AREA]; meta*: [R] int32; feats: padded per-level
     [N, Hp, Wp, Cp]. Returns [R, PP, Cp] in feats dtype."""
     if sub == "std":
-        sub = (SWIN_H, SWIN_W, S_OFF_Y, S_OFF_X, SX_ALIGN)
+        sub = ((SWIN_H, SWIN_W, S_OFF_Y, S_OFF_X, SX_ALIGN),
+               (MWIN_H, SWIN_W, M_OFF_Y, S_OFF_X, SX_ALIGN))
     num_levels = len(feats)
     r, pp, area = a.shape
     cp = feats[0].shape[-1]
@@ -376,7 +390,9 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
         jnp.arange(order.shape[0]))
     ros = rois_f[order]
     lvl = lvl[order]
-    small = ((ext_x <= _S_EXT_X) & (ext_y <= _S_EXT_Y))[order] \
+    small = (ext_x <= _S_EXT_X) & (ext_y <= _S_EXT_Y)
+    micro = small & (ext_y <= _M_EXT_Y)
+    tier_dma = jnp.where(micro, 2, jnp.where(small, 1, 0))[order] \
         .astype(jnp.int32)
 
     x, y, live, (cx, cy, _, _, _, _) = _sample_coords(
@@ -388,15 +404,18 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
     x0_full = jnp.clip((cxi - (WIN_H // 2 - 1)) // X_ALIGN * X_ALIGN,
                        0, wp_tab[lvl] - WIN_W)
     y0_sdma = jnp.clip(cyi - (SWIN_H // 2 - 1), 0, hp_tab[lvl] - SWIN_H)
+    y0_mdma = jnp.clip(cyi - (MWIN_H // 2 - 1), 0, hp_tab[lvl] - MWIN_H)
     x0_sdma = jnp.clip((cxi - (SWIN_W // 2 - 1)) // SX_ALIGN * SX_ALIGN,
                        0, wp_tab[lvl] - SWIN_W)
-    is_s = small == 1
-    y0_dma = jnp.where(is_s, y0_sdma, y0_full)
-    x0_dma = jnp.where(is_s, x0_sdma, x0_full)
-    # A is built against the LOGICAL window base: for small rois the
-    # DMA lands at (S_OFF_Y, S_OFF_X) inside the window buffer
-    y0 = jnp.where(is_s, y0_sdma - S_OFF_Y, y0_full)
-    x0 = jnp.where(is_s, x0_sdma - S_OFF_X, x0_full)
+    is_s = tier_dma == 1
+    is_m = tier_dma == 2
+    y0_dma = jnp.where(is_m, y0_mdma, jnp.where(is_s, y0_sdma, y0_full))
+    x0_dma = jnp.where(is_s | is_m, x0_sdma, x0_full)
+    # A is built against the LOGICAL window base: for small/micro rois
+    # the DMA lands at (S_OFF_Y/M_OFF_Y, S_OFF_X) inside the buffer
+    y0 = jnp.where(is_m, y0_mdma - M_OFF_Y,
+                   jnp.where(is_s, y0_sdma - S_OFF_Y, y0_full))
+    x0 = jnp.where(is_s | is_m, x0_sdma - S_OFF_X, x0_full)
 
     sx = jnp.clip(x - x0[:, None, None].astype(x.dtype), 0.0, WIN_W - 1.0)
     sy = jnp.clip(y - y0[:, None, None].astype(y.dtype), 0.0, WIN_H - 1.0)
@@ -406,7 +425,7 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
     a = _build_a(sx, sy, WIN_H, WIN_W, s, feats[0].dtype)
 
     b_idx = jnp.clip(ros[:, 0].astype(jnp.int32), 0, fp[0].shape[0] - 1)
-    meta1 = (b_idx * num_levels + lvl) * 2 + small
+    meta1 = (b_idx * num_levels + lvl) * 4 + tier_dma
     meta2 = y0_dma * 8192 + x0_dma
     return a, meta1, meta2, fp, ros, lvl, inv_order
 
@@ -463,7 +482,7 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
         a_b = _build_a(sx, sy, BWIN_H, BWIN_W, s, fp[0].dtype)
         b_idx = jnp.clip(ros_b[:, 0].astype(jnp.int32), 0,
                          fp[0].shape[0] - 1)
-        meta1_b = (b_idx * num_levels + lvl_b) * 2
+        meta1_b = (b_idx * num_levels + lvl_b) * 4
         meta2_b = y0 * 8192 + x0
         pooled_b = _pallas_pool(
             a_b, meta1_b, meta2_b, fp, 1, interpret,
