@@ -387,6 +387,11 @@ class YoloDataset:
             if boxes.size:
                 boxes[:, 0::2] = boxes[:, 0::2] * ratio[0] + dw
                 boxes[:, 1::2] = boxes[:, 1::2] * ratio[1] + dh
+            if self.random_perspective is not None:
+                # the reference warps the non-mosaic path too
+                # (LoadImagesAndLabels: letterbox -> random_perspective)
+                img, boxes, labels = yolo_random_perspective(
+                    img, boxes, labels, **self.random_perspective)
         if self.hsv:
             img = augment_hsv(img)
         if self.cutout_prob > 0 and random.random() < self.cutout_prob:

@@ -92,8 +92,11 @@ def anchor_target_single(anchors: jnp.ndarray,
         # 611k-anchor RPN at batch 4) while the [A, G] one-hot einsum
         # against a tiny GT table fuses into one cheap pass
         onehot = matched[:, None] == jnp.arange(g, dtype=matched.dtype)
+        # HIGHEST precision: the default MXU dot would round the f32
+        # GT table to bf16 and quantize every regression target
         matched_gts = jnp.einsum(
-            "ag,gd->ad", onehot.astype(encode_gts.dtype), encode_gts)
+            "ag,gd->ad", onehot.astype(encode_gts.dtype), encode_gts,
+            precision=jax.lax.Precision.HIGHEST)
     else:
         onehot = None
         matched_gts = encode_gts[matched]

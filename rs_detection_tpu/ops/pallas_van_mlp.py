@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .activations import exact_gelu
+from .activations import _erf_as, exact_gelu
 
 
 def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
@@ -106,19 +106,11 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
                 tap = sxd[dy:dy + nr] * wdw[dy * 3 + dx]
                 acc = tap if acc is None else acc + tap
         # exact (erf) gelu in f32: Mosaic lowers neither erf nor
-        # erfc, so use the Abramowitz–Stegun 7.1.26 polynomial (max
-        # err 1.5e-7 — below bf16 resolution, i.e. bit-identical to
-        # exact after cast)
+        # erfc; _erf_as is the shared A&S 7.1.26 polynomial (max err
+        # 1.5e-7 — below bf16 resolution, i.e. bit-identical to exact
+        # after cast) and is pure jnp, so it inlines into the kernel
         hpre = acc + bdw_ref[0].astype(f32)
-        z = hpre * np.float32(0.7071067811865476)
-        sgn = jnp.sign(z)
-        za = jnp.abs(z)
-        t = 1.0 / (1.0 + np.float32(0.3275911) * za)
-        poly = t * (np.float32(0.254829592) + t * (
-            np.float32(-0.284496736) + t * (np.float32(1.421413741)
-                + t * (np.float32(-1.453152027)
-                       + t * np.float32(1.061405429)))))
-        erf = sgn * (1.0 - poly * jnp.exp(-za * za))
+        erf = _erf_as(hpre * np.float32(0.7071067811865476))
         h2 = (hpre * 0.5 * (1.0 + erf)).astype(xv.dtype)
         out = jnp.dot(h2.reshape(nr * w, ch), w2_ref[:],
                       preferred_element_type=f32)

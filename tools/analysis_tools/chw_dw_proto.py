@@ -1,14 +1,19 @@
 """Prototype: depthwise conv with CHW layout (rows leading, C sublanes,
 W lanes) — dw taps as lane rotates + free leading-dim row slices.
-Measured against XLA's grouped conv at VAN stage-1 shapes.
+Measured against XLA's grouped conv at VAN stage-1 shapes. Measured
+NEGATIVE (docs/perf_notes.md): parity with XLA, both VPU
+instruction-bound — kept as the reference for the Mosaic facts it
+established (static-shift jnp.roll, manual halo DMA, vmem_limit).
 
-Run: python /tmp/chw_dw_proto.py [stage]
+Run on TPU: python tools/analysis_tools/chw_dw_proto.py
 """
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
