@@ -60,14 +60,33 @@ def render_dataset(root, n=4, size=128, seed=0):
 
 
 @pytest.mark.slow
-def test_orcnn_overfits_to_real_detections(tmp_path):
+def test_orcnn_overfits_to_real_detections(tmp_path, monkeypatch):
+    """Train-to-detect on rendered tiles, then close the FULL loop:
+    the same trained model runs the Runner.test tile pipeline over the
+    tiles re-cast as splits of one big scene, and the MERGED
+    scene-coordinate detections (result_merge poly-NMS + offset
+    re-application) must land on the scene ground truth — the
+    submission path the reference exercises on DOTA."""
+    import shutil
+
     import rs_detection_tpu.data  # noqa: F401
     import rs_detection_tpu.models  # noqa: F401
     from rs_detection_tpu.config import get_cfg
     from rs_detection_tpu.runner.runner import Runner
     from test_runner import _tiny_cfg
 
+    monkeypatch.chdir(tmp_path)  # submit_zips/ is cwd-relative
     ds_dir = render_dataset(str(tmp_path / "ds"))
+
+    # scene tiles: the 4 training tiles become the 2x2 split grid of
+    # scene S0001 (DOTA split naming: <scene>__<scale>__<x>___<y>)
+    tiles = tmp_path / "tiles" / "images"
+    tiles.mkdir(parents=True)
+    offsets = {0: (0, 0), 1: (128, 0), 2: (0, 128), 3: (128, 128)}
+    for i, (ox, oy) in offsets.items():
+        shutil.copy(os.path.join(ds_dir, "images", f"tile_{i}.png"),
+                    tiles / f"S0001__1.0__{ox}___{oy}.png")
+
     cfg = get_cfg()
     cfg.clear()
     c = _tiny_cfg(ds_dir, str(tmp_path / "w"), max_iter=None)
@@ -79,6 +98,11 @@ def test_orcnn_overfits_to_real_detections(tmp_path):
                           warmup_iters=10, warmup_ratio=0.1,
                           milestones=[150])
     c["dataset"]["val"] = dict(c["dataset"]["train"])
+    c["dataset"]["test"] = dict(
+        type="ImageDataset", images_dir=str(tiles),
+        dataset_type="DOTA", batch_size=2,
+        transforms=list(c["dataset"]["train"]["transforms"]))
+    c["merge_cfg"] = dict(dataset_type="DOTA")
     c["eval_interval"] = 9999
     c["checkpoint_interval"] = 9999
     c["log_interval"] = 10000
@@ -94,3 +118,43 @@ def test_orcnn_overfits_to_real_detections(tmp_path):
     assert len(present) == 2
     for k in present:
         assert aps[k] >= 0.3, (k, aps[k], aps["eval/0_meanAP"])
+
+    # ---- scene phase: tile inference -> merge -> scene-level match
+    from rs_detection_tpu.config.constant import DOTA1_CLASSES
+
+    runner.test(flip_test=False)
+    merged_dir = os.path.join(
+        str(tmp_path / "w"), f"test/submit_{runner.epoch}/after_nms")
+    dets = {}                                  # cls_id -> [(score, cx, cy)]
+    for cls_id in (1, 2):
+        path = os.path.join(merged_dir,
+                            DOTA1_CLASSES[cls_id - 1] + ".txt")
+        if not os.path.exists(path):
+            continue
+        for line in open(path):
+            f = line.split()
+            if f[0] != "S0001":
+                continue
+            poly = np.asarray([float(v) for v in f[2:10]])
+            dets.setdefault(cls_id, []).append(
+                (float(f[1]), poly[0::2].mean(), poly[1::2].mean()))
+
+    # scene gt = tile gt + tile offsets
+    with open(os.path.join(ds_dir, "labels.pkl"), "rb") as fh:
+        infos = pickle.load(fh)
+    matched = total = 0
+    for i, info in enumerate(infos):
+        ox, oy = offsets[i]
+        for box, lab in zip(info["ann"]["bboxes"],
+                            info["ann"]["labels"]):
+            total += 1
+            gx, gy = box[0] + ox, box[1] + oy
+            ok = any(abs(cx - gx) < 24 and abs(cy - gy) < 24
+                     and s >= 0.1
+                     for s, cx, cy in dets.get(int(lab), []))
+            matched += bool(ok)
+    # per-class tile AP >= 0.3 implies a healthy share of scene GTs
+    # must be recovered once tile offsets are re-applied by the merge;
+    # a coordinate/merge bug (lost offsets, un-flip errors, NMS
+    # collapse) drops this to ~0
+    assert matched >= total * 0.4, (matched, total, dets)
