@@ -11,6 +11,7 @@ if __name__ == "__main__":
                         "..", "..")
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
+         os.path.join(root, "tests", "test_golden_loss.py"),
          os.path.join(root, "tests", "test_networks_smoke.py"),
          "-k", "yolo", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))
