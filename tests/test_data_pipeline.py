@@ -246,3 +246,63 @@ class TestLVIS:
         out = ds.evaluate(results, str(tmp_path), 0)
         # frequency buckets from the shipped LVIS v1 table
         assert set(ds.frequencies) == {"f", "c", "r"}
+
+
+class TestDeviceTiler:
+    def test_positions_match_host_tiler(self, tmp_path):
+        """Window grid == img_split.SplitSingle's loop for assorted
+        scene sizes (incl. clamped final windows and tiny scenes)."""
+        from rs_detection_tpu.data.device_tiler import tile_positions
+
+        def host_positions(dim, subsize, slide):
+            pos = []
+            left = 0
+            while left < dim:
+                if left + subsize >= dim:
+                    left = max(dim - subsize, 0)
+                pos.append(left)
+                if left + subsize >= dim:
+                    break
+                left += slide
+            return pos
+
+        for dim in (100, 1024, 1500, 2048, 4000):
+            for subsize, gap in ((1024, 200), (600, 150)):
+                assert tile_positions(dim, subsize, subsize - gap) == \
+                    host_positions(dim, subsize, subsize - gap), dim
+
+    def test_tiles_match_numpy_windows(self):
+        from rs_detection_tpu.data.device_tiler import (tile_positions,
+                                                        tile_scene)
+
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        scene = (rng.rand(300, 420, 3) * 255).astype(np.uint8)
+        subsize, gap = 256, 56
+        tiles, offs = tile_scene(jnp.asarray(scene), subsize, gap)
+        lefts = tile_positions(420, subsize, subsize - gap)
+        ups = tile_positions(300, subsize, subsize - gap)
+        assert tiles.shape == (len(lefts) * len(ups), subsize,
+                               subsize, 3)
+        t = np.asarray(tiles)
+        for k, (lf, up) in enumerate(offs):
+            ref = scene[up:up + subsize, lf:lf + subsize]
+            np.testing.assert_array_equal(
+                t[k, :ref.shape[0], :ref.shape[1]], ref)
+            # out-of-scene region zero-padded
+            if ref.shape[0] < subsize:
+                assert (t[k, ref.shape[0]:] == 0).all()
+
+    def test_small_scene_zero_pads(self):
+        import jax.numpy as jnp
+
+        from rs_detection_tpu.data.device_tiler import tile_scene
+
+        scene = jnp.ones((60, 80, 3), jnp.uint8) * 7
+        tiles, offs = tile_scene(scene, 128, 32)
+        assert tiles.shape == (1, 128, 128, 3)
+        assert offs.tolist() == [[0, 0]]
+        t = np.asarray(tiles[0])
+        assert (t[:60, :80] == 7).all()
+        assert (t[60:] == 0).all() and (t[:, 80:] == 0).all()
