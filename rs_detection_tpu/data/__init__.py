@@ -5,4 +5,5 @@ from .custom import CustomDataset  # noqa: F401
 from .dota import (DOTADataset, FAIR1M_1_5_Dataset, FAIRDataset,  # noqa: F401
                    SSDDDataset)
 from .image import ImageDataset  # noqa: F401
+from .scene import SceneDataset  # noqa: F401
 from .yolo import COCODataset, YoloDataset  # noqa: F401

@@ -1,0 +1,125 @@
+"""Raw-scene test dataset: tiling happens ON DEVICE.
+
+The reference test flow requires an offline multiprocess split pass
+(``ImgSplit_multi_process.py``) before inference can start. This
+dataset takes the raw large scenes directly: each scene is transferred
+once (uint8), cut into the overlapping tile grid by the jit-compiled
+``device_tiler`` and normalized on device — the tiler is part of the
+compiled input pipeline (BASELINE north star). It emits the exact
+``(images, targets, metas)`` contract of ``ImageDataset`` with
+ImgSplit-style tile names (``name__rate__left___up``), so
+``Runner.test``'s flip-TTA and tile-merge submission path work
+unchanged on top of it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils.registry import DATASETS
+from .device_tiler import tile_scene
+from .image import IMG_EXTENSIONS, list_images
+
+
+@DATASETS.register_module()
+class SceneDataset:
+    def __init__(self, images_dir=None, images_file=None,
+                 subsize: int = 1024, gap: int = 200, rate: float = 1.0,
+                 dataset_type: str = "DOTA", batch_size: int = 1,
+                 mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375), to_bgr: bool = False,
+                 num_workers: int = 0, shuffle: bool = False,
+                 max_gt: int = 1, **kw):
+        self.images = (list_images(images_dir) if images_dir
+                       else list(images_file))
+        self.subsize = subsize
+        self.gap = gap
+        self.rate = rate
+        self.dataset_type = dataset_type
+        self.batch_size = batch_size
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_bgr = to_bgr
+        self.total_len = len(self.images)
+
+    def __len__(self):
+        return self.total_len
+
+    def _load_scene(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        Image.MAX_IMAGE_PIXELS = None  # DOTA scenes exceed PIL default
+        img = Image.open(path).convert("RGB")
+        if self.rate != 1.0:
+            img = img.resize((int(round(img.width * self.rate)),
+                              int(round(img.height * self.rate))),
+                             Image.BICUBIC)
+        return np.asarray(img, np.uint8)
+
+    def batches(self, flip_mode: Optional[str] = None) -> Iterator:
+        """Yield (images [B, S, S, 3] f32 on device, targets, metas) —
+        device-tiled + device-normalized; tile metas carry the
+        ImgSplit naming for the merge step."""
+        import jax
+        import jax.numpy as jnp
+
+        mean = jnp.asarray(self.mean)
+        std = jnp.asarray(self.std)
+
+        @jax.jit
+        def norm(t):
+            t = t.astype(jnp.float32)
+            if self.to_bgr:
+                t = t[..., ::-1]
+            t = (t - mean) / std
+            if flip_mode:
+                if "H" in flip_mode:
+                    t = t[:, :, ::-1]
+                if "V" in flip_mode:
+                    t = t[:, ::-1]
+            return t
+
+        s = self.subsize
+        rate_tag = str(float(self.rate))     # ImgSplit names use "1.0"
+        for path in self.images:
+            scene = self._load_scene(path)
+            tiles_u8, offsets = tile_scene(jnp.asarray(scene), s,
+                                           self.gap)
+            tiles = norm(tiles_u8)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            metas = []
+            for lf, up in offsets:
+                tile_name = f"{stem}__{rate_tag}__{lf}___{up}.png"
+                metas.append(dict(
+                    filename=tile_name,
+                    # the merge step parses tile offsets from the
+                    # img_file BASENAME (data_merge.py prepare_data)
+                    img_file=tile_name,
+                    scene_file=path,
+                    img_size=(s, s), ori_img_size=(s, s),
+                    scale_factor=1.0,
+                    **(dict(flip_mode=flip_mode) if flip_mode else {})))
+            n = tiles.shape[0]
+            bs = self.batch_size
+            for b in range(-(-n // bs)):
+                lo, hi = b * bs, min((b + 1) * bs, n)
+                batch = tiles[lo:hi]
+                ms = metas[lo:hi]
+                if hi - lo < bs:                # static batch shape
+                    batch = jnp.pad(
+                        batch, ((0, bs - (hi - lo)), (0, 0), (0, 0),
+                                (0, 0)))
+                    ms = ms + [None] * (bs - (hi - lo))
+                # full collate_batch target schema (empty GT)
+                targets = dict(
+                    rboxes=jnp.zeros((bs, 1, 5), jnp.float32),
+                    hboxes=jnp.zeros((bs, 1, 4), jnp.float32),
+                    polys=jnp.zeros((bs, 1, 8), jnp.float32),
+                    labels=jnp.zeros((bs, 1), jnp.int32),
+                    gt_mask=jnp.zeros((bs, 1), bool),
+                    img_hw=jnp.full((bs, 2), float(s), jnp.float32),
+                    scale_factor=jnp.ones((bs,), jnp.float32))
+                yield batch, targets, ms

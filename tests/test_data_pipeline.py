@@ -306,3 +306,77 @@ class TestDeviceTiler:
         t = np.asarray(tiles[0])
         assert (t[:60, :80] == 7).all()
         assert (t[60:] == 0).all() and (t[:, 80:] == 0).all()
+
+
+class TestSceneDataset:
+    def test_matches_pre_split_image_dataset(self, tmp_path):
+        """SceneDataset (device tiling of the raw scene) must produce
+        the same normalized model inputs and the same ImgSplit tile
+        names as ImageDataset over offline-split tiles."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from rs_detection_tpu.data.image import ImageDataset
+        from rs_detection_tpu.data.scene import SceneDataset
+
+        rng = np.random.RandomState(0)
+        scene = (rng.rand(200, 220, 3) * 255).astype(np.uint8)
+        scenes_dir = tmp_path / "scenes"
+        tiles_dir = tmp_path / "tiles"
+        scenes_dir.mkdir()
+        tiles_dir.mkdir()
+        Image.fromarray(scene).save(scenes_dir / "S1.png")
+
+        subsize, gap = 128, 32
+        mean = [123.675, 116.28, 103.53]
+        std = [58.395, 57.12, 57.375]
+        sds = SceneDataset(images_dir=str(scenes_dir), subsize=subsize,
+                           gap=gap, batch_size=2, mean=mean, std=std)
+        got = {}
+        for images, targets, metas in sds.batches():
+            arr = np.asarray(images)
+            for k, m in enumerate(metas):
+                if m is not None:
+                    got[m["filename"]] = arr[k]
+
+        # offline split: zero-padded tiles, same window grid
+        from rs_detection_tpu.data.device_tiler import tile_positions
+        lefts = tile_positions(220, subsize, subsize - gap)
+        ups = tile_positions(200, subsize, subsize - gap)
+        names = []
+        for up in ups:
+            for lf in lefts:
+                tile = np.zeros((subsize, subsize, 3), np.uint8)
+                src = scene[up:up + subsize, lf:lf + subsize]
+                tile[:src.shape[0], :src.shape[1]] = src
+                name = f"S1__1.0__{lf}___{up}.png"
+                Image.fromarray(tile).save(tiles_dir / name)
+                names.append(name)
+        ids = ImageDataset(
+            images_dir=str(tiles_dir), batch_size=1,
+            transforms=[dict(type="Normalize", mean=mean, std=std,
+                             to_bgr=False)])
+        assert set(got) == set(names)
+        for images, targets, metas in ids.batches():
+            ref = np.asarray(images[0])
+            name = metas[0]["filename"]
+            np.testing.assert_allclose(got[name], ref, atol=1e-4)
+
+    def test_flip_mode_tags_and_flips(self, tmp_path):
+        from PIL import Image
+
+        from rs_detection_tpu.data.scene import SceneDataset
+
+        rng = np.random.RandomState(1)
+        scene = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        d = tmp_path / "s"
+        d.mkdir()
+        Image.fromarray(scene).save(d / "A.png")
+        sds = SceneDataset(images_dir=str(d), subsize=64, gap=16,
+                           batch_size=1)
+        plain = next(iter(sds.batches()))[0]
+        flipped = next(iter(sds.batches(flip_mode="H")))[0]
+        np.testing.assert_allclose(np.asarray(plain)[:, :, ::-1],
+                                   np.asarray(flipped), atol=1e-5)
+        m = next(iter(sds.batches(flip_mode="H")))[2][0]
+        assert m["flip_mode"] == "H"

@@ -333,3 +333,41 @@ def test_runner_test_task_submission(tmp_path, monkeypatch):
     # submission zip assembled
     assert os.path.exists(os.path.join("submit_zips",
                                        "runner_test_smoke.zip"))
+
+
+def test_runner_test_on_raw_scene(tmp_path, monkeypatch):
+    """Runner.test over a SceneDataset: raw scene in, device tiling,
+    merged DOTA submission out — no offline split pass."""
+    import numpy as np
+    from PIL import Image
+
+    import rs_detection_tpu.data  # noqa: F401
+    import rs_detection_tpu.models  # noqa: F401
+    from rs_detection_tpu.config import get_cfg
+    from rs_detection_tpu.runner.runner import Runner
+
+    monkeypatch.chdir(tmp_path)
+    ds_dir = make_dataset(str(tmp_path / "ds"))
+    scenes = tmp_path / "scenes"
+    scenes.mkdir()
+    rng = np.random.RandomState(3)
+    Image.fromarray((rng.rand(200, 230, 3) * 255).astype(
+        np.uint8)).save(scenes / "P0007.png")
+
+    cfg = get_cfg()
+    cfg.clear()
+    c = _tiny_cfg(ds_dir, str(tmp_path / "work"), max_iter=1)
+    c["merge_cfg"] = dict(dataset_type="DOTA")
+    c["dataset"]["test"] = dict(
+        type="SceneDataset", images_dir=str(scenes), subsize=128,
+        gap=32, batch_size=2)
+    cfg.update(c)
+
+    runner = Runner()
+    runner.test(flip_test=False)
+    sub = tmp_path / "submit_zips"
+    zips = list(sub.glob("*.zip"))
+    assert zips, "no submission zip produced"
+    merged = (tmp_path / "work" /
+              f"test/submit_{runner.epoch}/after_nms")
+    assert merged.exists()
