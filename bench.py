@@ -85,6 +85,11 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-preproc", action="store_true",
                     help="legacy mode: pre-staged device tensors only")
+    ap.add_argument("--scene", action="store_true",
+                    help="raw-scene mode: a 2048x2048 uint8 scene is "
+                         "tiled ON DEVICE (device_tiler, 1024/200 "
+                         "windows) and normalized+inferred per tile — "
+                         "the no-offline-split serving path")
     ap.add_argument("--with-decode", action="store_true",
                     help="also put PNG decode on the clock (needs a "
                          "multi-core host; this bench host has 1 vCPU "
@@ -154,6 +159,51 @@ def main():
 
     runs = 3 if not tiny else 1
     best_dt = None
+    if args.scene:
+        from rs_detection_tpu.data.device_tiler import tile_scene
+
+        sc = 2048 if not tiny else 2 * img
+        scene_u8 = jax.device_put(
+            (rng.rand(sc, sc, 3) * 255).astype(np.uint8))
+        jax.block_until_ready(scene_u8)
+        sub, gap = img, img // 5 if tiny else 200
+        n_tiles = tile_scene(scene_u8, sub, gap)[0].shape[0]
+        nb = -(-n_tiles // batch)
+
+        @jax.jit
+        def scene_step(v, sc_img, t, d):
+            tiles = tile_scene(sc_img, sub, gap)[0]
+            pad = nb * batch - tiles.shape[0]
+            if pad:
+                tiles = jnp.pad(tiles,
+                                ((0, pad), (0, 0), (0, 0), (0, 0)))
+            acc = d
+            for b2 in range(nb):
+                blk = tiles[b2 * batch:(b2 + 1) * batch]
+                x = (blk.astype(jnp.float32) - mean) / std + acc * 0.0
+                acc = acc + jnp.sum(model.apply(
+                    v, x, t, method=model.predict)["scores"])
+            return acc
+
+        dep = scene_step(variables, scene_u8, targets, jnp.float32(0.0))
+        float(dep)
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            dep = jnp.float32(0.0)
+            for _ in range(max(1, args.iters // nb)):
+                dep = scene_step(variables, scene_u8, targets, dep)
+            float(dep)
+            dt = ((time.perf_counter() - t0)
+                  / max(1, args.iters // nb) / n_tiles)
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        print(json.dumps({
+            "metric": "orcnn_vanb3_scene2048_devtile_norm_infer_e2e"
+                      if not tiny else "orcnn_tiny_scene_smoke",
+            "value": round(1.0 / best_dt, 2),
+            "unit": "tiles/sec/chip",
+            "vs_baseline": round(1.0 / best_dt / 400.0, 4),
+        }))
+        return
     if args.no_preproc:
         for _ in range(runs):
             t0 = time.perf_counter()
