@@ -86,7 +86,7 @@ def main():
     ap.add_argument("--no-preproc", action="store_true",
                     help="legacy mode: pre-staged device tensors only")
     ap.add_argument("--scene", action="store_true",
-                    help="raw-scene mode: a 2048x2048 uint8 scene is "
+                    help="raw-scene mode: a 2872x2872 uint8 scene is "
                          "tiled ON DEVICE (device_tiler, 1024/200 "
                          "windows) and normalized+inferred per tile — "
                          "the no-offline-split serving path")
@@ -162,7 +162,10 @@ def main():
     if args.scene:
         from rs_detection_tpu.data.device_tiler import tile_scene
 
-        sc = 2048 if not tiny else 2 * img
+        # 2872^2 -> a 4x4 window grid = 16 tiles = two full batches of
+        # 8 (a 2048^2 scene's 3x3 grid leaves 7 of 16 batch slots as
+        # padding and reads 44% slower than the tiles are)
+        sc = 2872 if not tiny else 2 * img
         scene_u8 = jax.device_put(
             (rng.rand(sc, sc, 3) * 255).astype(np.uint8))
         jax.block_until_ready(scene_u8)

@@ -14,6 +14,7 @@ unchanged on top of it.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Iterator, Optional
 
@@ -21,7 +22,37 @@ import numpy as np
 
 from ..utils.registry import DATASETS
 from .device_tiler import tile_scene
-from .image import IMG_EXTENSIONS, list_images
+from .image import list_images
+
+
+@functools.lru_cache(maxsize=1)
+def _normalize_tiles_jit():
+    """One module-level jitted normalize (+ TTA flips): repeated
+    ``batches()`` calls hit the same trace cache instead of re-tracing
+    a fresh closure each epoch. Built lazily so importing the data
+    package does not pull in jax."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("to_bgr", "flip_mode"))
+    def impl(t, mean, std, to_bgr, flip_mode):
+        t = t.astype(jnp.float32)
+        if to_bgr:
+            t = t[..., ::-1]
+        t = (t - mean) / std
+        if flip_mode:
+            if "H" in flip_mode:
+                t = t[:, :, ::-1]
+            if "V" in flip_mode:
+                t = t[:, ::-1]
+        return t
+
+    return impl
+
+
+def _normalize_tiles(tiles, mean, std, to_bgr: bool,
+                     flip_mode: Optional[str]):
+    return _normalize_tiles_jit()(tiles, mean, std, to_bgr, flip_mode)
 
 
 @DATASETS.register_module()
@@ -63,32 +94,18 @@ class SceneDataset:
         """Yield (images [B, S, S, 3] f32 on device, targets, metas) —
         device-tiled + device-normalized; tile metas carry the
         ImgSplit naming for the merge step."""
-        import jax
         import jax.numpy as jnp
 
         mean = jnp.asarray(self.mean)
         std = jnp.asarray(self.std)
-
-        @jax.jit
-        def norm(t):
-            t = t.astype(jnp.float32)
-            if self.to_bgr:
-                t = t[..., ::-1]
-            t = (t - mean) / std
-            if flip_mode:
-                if "H" in flip_mode:
-                    t = t[:, :, ::-1]
-                if "V" in flip_mode:
-                    t = t[:, ::-1]
-            return t
-
         s = self.subsize
         rate_tag = str(float(self.rate))     # ImgSplit names use "1.0"
         for path in self.images:
             scene = self._load_scene(path)
             tiles_u8, offsets = tile_scene(jnp.asarray(scene), s,
                                            self.gap)
-            tiles = norm(tiles_u8)
+            tiles = _normalize_tiles(tiles_u8, mean, std,
+                                     self.to_bgr, flip_mode)
             stem = os.path.splitext(os.path.basename(path))[0]
             metas = []
             for lf, up in offsets:

@@ -19,6 +19,7 @@ the XLA composition via ``jax.custom_vjp``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,7 +158,6 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
     xp = jnp.pad(x, ((0, 0), (1, 1 + hpad), (1, wp - w - 1), (0, 0)))
     grid = (n, (h + hpad) // bh)
 
-    import os
     split = int(os.environ.get("RS_VAN_MLP_SPLIT", "1"))
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, bh=bh, h=h, w=w, wp=wp, c=c,
