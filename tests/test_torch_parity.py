@@ -304,3 +304,62 @@ def test_layout_auto_alignment():
     report = compare_recordings({"x": a.transpose(0, 3, 1, 2)},
                                 {"x": a})
     assert report["x"]["ok"]
+
+
+class TFPN(tnn.Module):
+    """Torch mirror of necks/fpn.py (lateral 1x1 + nearest upsample +
+    3x3 out convs + maxpool extra level) with flax-matching names."""
+
+    def __init__(self, ins=(32, 64, 128, 256), out=32):
+        super().__init__()
+        for i, c in enumerate(ins):
+            setattr(self, f"lateral_{i}", tnn.Conv2d(c, out, 1))
+            setattr(self, f"fpn_conv_{i}",
+                    tnn.Conv2d(out, out, 3, padding=1))
+        self.n = len(ins)
+
+    def forward(self, feats):
+        lats = [getattr(self, f"lateral_{i}")(f)
+                for i, f in enumerate(feats)]
+        for i in range(self.n - 1, 0, -1):
+            lats[i - 1] = lats[i - 1] + tnn.functional.interpolate(
+                lats[i], size=lats[i - 1].shape[-2:], mode="nearest")
+        outs = [getattr(self, f"fpn_conv_{i}")(lats[i])
+                for i in range(self.n)]
+        outs.append(tnn.functional.max_pool2d(outs[-1], 1, stride=2))
+        return outs
+
+
+def test_fpn_activation_parity():
+    """FPN top-down math (incl. nearest upsample + maxpool extra
+    level) matches torch through the checkpoint converter."""
+    import jax
+
+    from rs_detection_tpu.models.necks.fpn import FPN
+    from rs_detection_tpu.utils.check_diff import compare_recordings
+
+    rng = np.random.RandomState(0)
+    tmodel = TFPN().eval()
+    _nontrivial_init(tmodel, rng)
+    params, _ = _convert(tmodel)
+
+    jmodel = FPN(in_channels=(32, 64, 128, 256), out_channels=32,
+                 num_outs=5)
+    feats = [rng.rand(2, 32 // (2 ** i), 32 // (2 ** i),
+                      c).astype(np.float32)
+             for i, c in enumerate((32, 64, 128, 256))]
+    init = jmodel.init(jax.random.PRNGKey(0), feats)
+    _assert_tree_shapes_match(params, init["params"])
+
+    outs_j = jmodel.apply({"params": params}, feats)
+    with torch.no_grad():
+        outs_t = tmodel([torch.tensor(f.transpose(0, 3, 1, 2))
+                         for f in feats])
+    # transpose explicitly: p0 is [2,32,32,32], where the NCHW->NHWC
+    # permutation is shape-ambiguous and auto_layout cannot detect it
+    rec_t = {f"p{i}": o.numpy().transpose(0, 2, 3, 1)
+             for i, o in enumerate(outs_t)}
+    rec_j = {f"p{i}": np.asarray(o) for i, o in enumerate(outs_j)}
+    report = compare_recordings(rec_t, rec_j, rtol=1e-3, atol=1e-4)
+    bad = {k: v for k, v in report.items() if not v["ok"]}
+    assert not bad, bad
