@@ -356,3 +356,31 @@ class TestTileMerge:
         target = dict(flip_mode="H", ori_img_size=(100, 50))
         un = flip_box(poly.copy(), target)
         assert un[0] == 90.0 and un[1] == 10.0
+
+
+class TestDraw:
+    def test_draw_primitives_render(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from rs_detection_tpu.utils.draw import (colors_val, draw_hbb,
+                                                 draw_obb, draw_poly,
+                                                 get_img_from_fig,
+                                                 plt_init,
+                                                 random_colors,
+                                                 single_color_val)
+
+        fig, ax = plt_init(96, 64)
+        draw_hbb(ax, np.array([[5, 5, 40, 30]]), ["car 0.9"], "red")
+        draw_obb(ax, np.array([[60, 30, 30, 12, 0.5]]), None,
+                 (0, 255, 0))
+        draw_poly(ax, np.array([[10, 40, 40, 40, 40, 60, 10, 60]]),
+                  None, "#0000ff")
+        img = get_img_from_fig(fig, 96, 64)
+        assert img.shape == (64, 96, 3) and img.dtype == np.uint8
+        # something non-white was drawn
+        assert (img < 250).any()
+        assert single_color_val("red") == (1.0, 0.0, 0.0)
+        assert single_color_val((255, 0, 0)) == (1.0, 0.0, 0.0)
+        assert len(colors_val(["red", "#00ff00"])) == 2
+        assert len(random_colors(5)) == 5
