@@ -317,3 +317,149 @@ class SoftDiceLoss:
         den = p.sum(-1) + target.sum(-1) + self.smooth
         return self.loss_weight * weight_reduce_loss(
             1 - num / den, weight, self.reduction, avg_factor)
+
+
+# ---------------------------------------------------------------------------
+# EQLv2Impr — EQLv2 with accumulated-loss class reweighting
+# ---------------------------------------------------------------------------
+
+class EQLv2ImprState(NamedTuple):
+    pos_grad: jnp.ndarray
+    neg_grad: jnp.ndarray
+    acc_loss: jnp.ndarray
+
+
+@LOSSES.register_module()
+class EQLv2Impr(EQLv2):
+    """Improved EQLv2 (reference ``eqlv2_impr.py:11-150``): the EQLv2
+    gradient-ratio pos/neg weights are ALSO weighted into the gradient
+    statistics, and a per-class weight derived from each class's
+    accumulated share of the loss (``1 / ((r/new_mu)^new_gamma +
+    1/scale)``) rescales the per-class loss sums."""
+
+    def __init__(self, use_sigmoid=True, num_classes=1203, gamma=12,
+                 mu=0.8, alpha=4.0, new_gamma=0.5, new_mu=0.08,
+                 scale_factor=10.0, reduction="mean", loss_weight=1.0,
+                 test_with_obj=True, **kw):
+        super().__init__(use_sigmoid=use_sigmoid,
+                         num_classes=num_classes, gamma=gamma, mu=mu,
+                         alpha=alpha, reduction=reduction,
+                         loss_weight=loss_weight,
+                         test_with_obj=test_with_obj)
+        self.new_gamma = new_gamma
+        self.new_mu = new_mu
+        self.scale_factor = scale_factor
+
+    def init_state(self) -> EQLv2ImprState:
+        # reference starts pos_neg at 100 so pos_w == neg_w == 1
+        return EQLv2ImprState(
+            pos_grad=jnp.full((self.num_classes,), 100.0),
+            neg_grad=jnp.ones((self.num_classes,)),
+            acc_loss=jnp.full((self.num_classes,), 1e-10))
+
+    def _map_new_func(self, r):
+        x = r / self.new_mu
+        return 1.0 / (x ** self.new_gamma + 1.0 / self.scale_factor)
+
+    def __call__(self, cls_score, label, state: EQLv2ImprState,
+                 weight=None, avg_factor=None,
+                 axis_name: Optional[str] = None):
+        n_i, n_c = cls_score.shape
+        target = jax.nn.one_hot(label, n_c, dtype=cls_score.dtype)
+
+        pos_neg = state.pos_grad / (state.neg_grad + 1e-10)
+        neg_w = jnp.concatenate([self._map_func(pos_neg),
+                                 jnp.ones((1,))])
+        pos_w = 1 + self.alpha * (1 - neg_w)
+        w = pos_w[None] * target + neg_w[None] * (1 - target)
+
+        ratios = state.acc_loss / state.acc_loss.sum()
+        cls_weight = jnp.concatenate([self._map_new_func(ratios),
+                                      jnp.ones((1,))])
+
+        ce = optax_sigmoid_bce(cls_score, target)
+        eql_loss = (ce * w).sum(0) / n_i              # [C+1]
+        imp_loss = eql_loss * cls_weight
+        loss = imp_loss.sum()
+
+        prob = jax.lax.stop_gradient(jax.nn.sigmoid(cls_score))
+        grad = jnp.abs(target * (prob - 1) + (1 - target) * prob)
+        wg = jax.lax.stop_gradient(w)
+        pos_g = _maybe_psum((grad * target * wg).sum(0)[:-1], axis_name)
+        neg_g = _maybe_psum((grad * (1 - target) * wg).sum(0)[:-1],
+                            axis_name)
+        new_state = EQLv2ImprState(
+            pos_grad=state.pos_grad + pos_g,
+            neg_grad=state.neg_grad + neg_g,
+            acc_loss=state.acc_loss
+            + jax.lax.stop_gradient(imp_loss[:-1]))
+        return self.loss_weight * loss, new_state
+
+
+# ---------------------------------------------------------------------------
+# EFL v1 — gradient stats over ALL C+1 channels (incl. objectness)
+# ---------------------------------------------------------------------------
+
+@LOSSES.register_module()
+class EqualizedFocalLossV1:
+    """EFL variant collecting gradient statistics over every channel
+    including the objectness/background one (reference
+    ``eflv1.py:12-135``; the ``efl.py`` variant tracked only the C
+    foreground channels)."""
+
+    def __init__(self, use_sigmoid=True, num_classes=1203,
+                 focal_gamma=2.0, focal_alpha=0.25, scale_factor=8.0,
+                 reduction="mean", loss_weight=1.0,
+                 test_with_obj=True, **kw):
+        self.num_classes = num_classes
+        self.focal_gamma = focal_gamma
+        self.focal_alpha = focal_alpha
+        self.scale_factor = scale_factor
+        self.loss_weight = loss_weight
+        self.test_with_obj = test_with_obj
+
+    def get_channel_num(self, num_classes):
+        return num_classes + 1
+
+    def init_state(self) -> EFLState:
+        c1 = self.num_classes + 1
+        return EFLState(pos_grad=jnp.zeros(c1),
+                        neg_grad=jnp.zeros(c1),
+                        pos_neg=jnp.ones(c1))
+
+    def get_activation(self, cls_score):
+        s = jax.nn.sigmoid(cls_score)
+        if self.test_with_obj:
+            bg = s[:, -1:]
+            s = jnp.concatenate([s[:, :-1] * (1 - bg), bg], axis=1)
+        return s
+
+    def __call__(self, cls_score, label, state: EFLState, weight=None,
+                 avg_factor=None, axis_name: Optional[str] = None):
+        n_i, n_c = cls_score.shape            # n_c = C + 1
+        target = jax.nn.one_hot(label, n_c, dtype=cls_score.dtype)
+        pred = jax.nn.sigmoid(cls_score)
+        pred_t = pred * target + (1 - pred) * (1 - target)
+
+        map_val = 1 - state.pos_neg           # [C+1]
+        dy_gamma = self.focal_gamma + self.scale_factor * map_val
+        ff = jax.lax.stop_gradient(
+            jnp.broadcast_to(dy_gamma[None], (n_i, n_c)))
+        wf = ff / self.focal_gamma
+        ce = -jnp.log(jnp.clip(pred_t, 1e-12, None))
+        loss = ce * ((1 - pred_t) ** ff) * wf
+        if self.focal_alpha >= 0:
+            alpha_t = self.focal_alpha * target + \
+                (1 - self.focal_alpha) * (1 - target)
+            loss = alpha_t * loss
+        loss = loss.sum() / n_i
+
+        prob = jax.lax.stop_gradient(pred)
+        grad = jnp.abs(target * (prob - 1) + (1 - target) * prob)
+        pos_grad = state.pos_grad + _maybe_psum((grad * target).sum(0),
+                                                axis_name)
+        neg_grad = state.neg_grad + _maybe_psum(
+            (grad * (1 - target)).sum(0), axis_name)
+        pos_neg = jnp.clip(pos_grad / (neg_grad + 1e-10), 0, 1)
+        return self.loss_weight * loss, EFLState(pos_grad, neg_grad,
+                                                 pos_neg)

@@ -153,3 +153,52 @@ class TestLongTail:
         loss, new_state = loss_fn(cls_score, labels, state)
         assert np.isfinite(float(loss))
         assert np.isfinite(np.asarray(new_state.pos_neg)).all()
+
+
+class TestLongTailVariants:
+    def test_eqlv2_impr_state_and_loss(self):
+        import jax
+        import jax.numpy as jnp
+
+        from rs_detection_tpu.models.losses.long_tail import EQLv2Impr
+
+        c = 6
+        loss_fn = EQLv2Impr(num_classes=c)
+        state = loss_fn.init_state()
+        rng = np.random.RandomState(0)
+        scores = jnp.asarray(rng.randn(16, c + 1), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, c + 1, 16))
+        loss, new_state = loss_fn(scores, labels, state)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        # grad statistics accumulate and acc_loss moves
+        assert (np.asarray(new_state.pos_grad)
+                >= np.asarray(state.pos_grad)).all()
+        assert float(new_state.acc_loss.sum()) > float(
+            state.acc_loss.sum())
+        # initial state gives pos_w == neg_w == 1 (reference: pos_neg
+        # starts at 100 so the map saturates at 1)
+        nw = loss_fn._map_func(state.pos_grad / (state.neg_grad + 1e-10))
+        np.testing.assert_allclose(np.asarray(nw), 1.0, atol=1e-6)
+        # differentiable
+        g = jax.grad(lambda s: loss_fn(s, labels, state)[0])(scores)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_eflv1_tracks_all_channels(self):
+        import jax.numpy as jnp
+
+        from rs_detection_tpu.models.losses.long_tail import \
+            EqualizedFocalLossV1
+
+        c = 5
+        loss_fn = EqualizedFocalLossV1(num_classes=c)
+        state = loss_fn.init_state()
+        assert state.pos_grad.shape == (c + 1,)   # incl. objectness
+        rng = np.random.RandomState(1)
+        scores = jnp.asarray(rng.randn(8, c + 1), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, c + 1, 8))
+        loss, ns = loss_fn(scores, labels, state)
+        assert np.isfinite(float(loss))
+        assert float(ns.pos_grad.sum()) > 0
+        act = loss_fn.get_activation(scores)
+        assert act.shape == scores.shape
+        assert (np.asarray(act) <= 1).all()
