@@ -104,7 +104,16 @@ def main():
     import dataclasses
     from concurrent.futures import ThreadPoolExecutor
 
-    import jax
+    if args.tiny:
+        # --tiny is the CPU smoke: force the platform in-process
+        # (the shell profile pins JAX_PLATFORMS to the TPU tunnel, and
+        # jax.devices() HANGS if the tunnel is down)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
     import jax.numpy as jnp
     import numpy as np
 
