@@ -24,9 +24,108 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_LAST_KNOWN_FILE = os.path.join(_REPO, "BENCH_LAST.json")
+# builder-measured round-2 same-window number (README perf table);
+# used only if no BENCH_LAST.json has ever been written
+_LAST_KNOWN_FALLBACK = {"metric": "orcnn_vanb3_1024tile_norm_infer_e2e",
+                        "value": 46.5, "unit": "tiles/sec/chip",
+                        "vs_baseline": 0.1163}
+
+
+def _read_last_known():
+    try:
+        with open(_LAST_KNOWN_FILE) as f:
+            return json.load(f)
+    except Exception:
+        return dict(_LAST_KNOWN_FALLBACK)
+
+
+def _write_last_known(rec):
+    try:
+        with open(_LAST_KNOWN_FILE, "w") as f:
+            json.dump(rec, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def _probe_tpu(timeout=90.0):
+    """True if the TPU backend initializes. Runs in a SUBPROCESS with a
+    hard timeout: a dead axon tunnel makes jax.devices() HANG (not
+    raise), so an in-process check can never be trusted."""
+    code = ("import jax; ds = jax.devices(); "
+            "assert any(d.platform != 'cpu' for d in ds), ds; "
+            "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _emit_unavailable(reason):
+    """The perf record must never be a stack trace: emit one parseable
+    JSON line carrying the last known good number, and exit 0."""
+    last = _read_last_known()
+    print(json.dumps({
+        "metric": last.get("metric", "orcnn_vanb3_1024tile_norm_infer_e2e"),
+        "value": None,
+        "unit": "tiles/sec/chip",
+        "vs_baseline": None,
+        "error": reason,
+        "last_known": last.get("value"),
+        "last_known_record": last,
+    }))
+    sys.exit(0)
+
+
+def _supervise(argv):
+    """Probe for the TPU (bounded retry with backoff), then run the
+    real benchmark as a monitored child with a deadline. All failure
+    modes — tunnel down, mid-run hang, crash — end in a parseable JSON
+    line and rc=0."""
+    wait_budget = float(os.environ.get("BENCH_TPU_WAIT", "900"))
+    deadline = float(os.environ.get("BENCH_DEADLINE", "5400"))
+    t0 = time.time()
+    backoff = 30.0
+    while not _probe_tpu():
+        waited = time.time() - t0
+        if waited + backoff > wait_budget:
+            _emit_unavailable("tpu_unavailable")
+        print(f"bench: TPU backend unavailable after {waited:.0f}s; "
+              f"retrying in {backoff:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(backoff)
+        backoff = min(backoff * 1.7, 180.0)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child"]
+            + argv, capture_output=True, timeout=deadline, text=True)
+    except subprocess.TimeoutExpired:
+        _emit_unavailable("bench_deadline_exceeded")
+    sys.stderr.write(r.stderr[-8000:])
+    rec = None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            cand = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(cand, dict) and "metric" in cand:
+            rec = cand
+            break
+    if r.returncode != 0 or rec is None:
+        sys.stderr.write(r.stdout[-4000:])
+        _emit_unavailable(f"bench_child_failed_rc{r.returncode}")
+    if rec.get("value"):
+        _write_last_known(rec)
+    print(json.dumps(rec))
+    sys.exit(0)
 
 
 def _make_tiles(tile_dir: str, n: int, img: int, seed: int = 0):
@@ -99,7 +198,15 @@ def main():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of 3 inference "
                          "iters into DIR (see xplane_summary.py)")
+    ap.add_argument("--_child", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="run in-process without the outage supervisor")
     args = ap.parse_args()
+
+    if not (args.tiny or args._child or args.no_supervise):
+        # TPU path: probe + monitored child, never a bare stack trace
+        _supervise([a for a in sys.argv[1:]])
 
     import dataclasses
     from concurrent.futures import ThreadPoolExecutor
