@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: configs/orcnn_van3_7_anchor_swa_1.py
+# Ported from the reference config zoo: configs/orcnn_van3_for_test_1.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -11,7 +11,7 @@ model = dict(
         img_size=1024,
         num_stages=4,
         out_indices=[0, 1, 2, 3],
-        pretrained=True,
+        pretrained=False,
     ),
     bbox_head=dict(
         type="OrientedHead",
@@ -66,7 +66,7 @@ model = dict(
             num=512,
             pos_fraction=0.25,
         ),
-        score_thresh=0.01,
+        score_thresh=0.001,
         start_bbox_type="obb",
         with_avg_pool=False,
         with_bbox=True,
@@ -117,8 +117,8 @@ model = dict(
             use_sigmoid=True,
         ),
         min_bbox_size=0,
-        nms_post=2000,
-        nms_pre=2000,
+        nms_post=4000,
+        nms_pre=4000,
         nms_thresh=0.8,
         num_classes=1,
         pos_weight=-1,
@@ -139,68 +139,8 @@ dataset = dict(
         type="ImageDataset",
         batch_size=1,
         dataset_type="FAIR1M_1_5",
-        images_dir="datasets/data/private/LYX/data/test_2_preprocessed_ms/test_1024_200_0.5-1.0-1.5/images",
+        images_dir="./data/test_ms/test_1024_200_0.5-1.0-1.5/images",
         num_workers=4,
-        transforms=[
-            dict(
-                type="RotatedResize",
-                angle_version="le90",
-                max_size=1024,
-                min_size=1024,
-            ),
-            dict(
-                type="Pad",
-                size_divisor=32,
-            ),
-            dict(
-                type="Normalize",
-                mean=[123.675, 116.28, 103.53],
-                std=[58.395, 57.12, 57.375],
-                to_bgr=False,
-            ),
-        ],
-    ),
-    train=dict(
-        type="FAIR1M_1_5_Dataset",
-        batch_size=8,
-        dataset_dir="datasets/data/private/LYX/data/FAIR1M2.0_v2_extra_gray_color_preprocessed_ms/train_1024_200_0.5-1.0-1.5",
-        filter_empty_gt=False,
-        num_workers=8,
-        shuffle=True,
-        transforms=[
-            dict(
-                type="RotatedResize",
-                angle_version="le90",
-                max_size=1024,
-                min_size=1024,
-            ),
-            dict(
-                type="RotatedRandomFlip",
-                prob=0.5,
-            ),
-            dict(
-                type="RandomRotateAug",
-                angle_version="le90",
-                random_rotate_on=True,
-            ),
-            dict(
-                type="Pad",
-                size_divisor=32,
-            ),
-            dict(
-                type="Normalize",
-                mean=[123.675, 116.28, 103.53],
-                std=[58.395, 57.12, 57.375],
-                to_bgr=False,
-            ),
-        ],
-    ),
-    val=dict(
-        type="FAIR1M_1_5_Dataset",
-        batch_size=8,
-        dataset_dir="datasets/data/private/LYX/data/preprocessed_ms/train_1024_200_0.5-1.0-1.5",
-        num_workers=8,
-        shuffle=False,
         transforms=[
             dict(
                 type="RotatedResize",
@@ -257,14 +197,16 @@ checkpoint_interval = 1
 
 dataset_root = "datasets/data/private/LYX/data"
 
-eval_interval = 20
+eval_interval = 3
 
 log_interval = 200
 
-max_epoch = 9
+max_epoch = 18
 
 merge_nms_threshold_type = 1
 
 num_classes = 10
+
+resume_path = "work_dirs/orcnn_van3_7_anchor_swa_1/checkpoints/swa_8-9.pkl"
 
 swa_start_epoch = 12

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: configs/s2anet/s2anet_r101_fpn_1x_dota_rotate_balance_ms_fair.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -7,7 +7,7 @@
 model = dict(
     type="S2ANet",
     backbone=dict(
-        type="Resnet50",
+        type="Resnet101",
         frozen_stages=1,
         pretrained=True,
         return_stages=["layer1", "layer2", "layer3", "layer4"],
@@ -43,7 +43,7 @@ model = dict(
             loss_weight=1.0,
             use_sigmoid=True,
         ),
-        num_classes=16,
+        num_classes=38,
         stacked_convs=2,
         target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
         target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
@@ -117,7 +117,8 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        dataset_type="FAIR",
+        images_dir="datasets/data/lxl/dataset/fair_1024/test_1024_200_0.5-1.0-1.5/images",
         num_workers=4,
         transforms=[
             dict(
@@ -138,9 +139,10 @@ dataset = dict(
         ],
     ),
     train=dict(
-        type="DOTADataset",
+        type="FAIRDataset",
+        balance_category=True,
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/data/lxl/dataset/fair_1024/trainval_1024_200_0.5-1.0-1.5",
         filter_empty_gt=False,
         num_workers=4,
         shuffle=True,
@@ -155,6 +157,10 @@ dataset = dict(
                 prob=0.5,
             ),
             dict(
+                type="RandomRotateAug",
+                random_rotate_on=True,
+            ),
+            dict(
                 type="Pad",
                 size_divisor=32,
             ),
@@ -167,9 +173,9 @@ dataset = dict(
         ],
     ),
     val=dict(
-        type="DOTADataset",
+        type="FAIRDataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/data/lxl/dataset/fair_1024/trainval_1024_200_0.5-1.0-1.5",
         num_workers=4,
         shuffle=False,
         transforms=[
@@ -217,8 +223,12 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+data_root = "datasets/data/lxl/dataset/fair_1024"
+
+eval_interval = 12
 
 log_interval = 50
 
 max_epoch = 12
+
+train_root = "datasets/data/lxl/dataset/fair_1024/trainval_1024_200_0.5-1.0-1.5"

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: configs/s2anet/s2anet_r50_fpn_1x_fair1m_1_5.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -43,7 +43,7 @@ model = dict(
             loss_weight=1.0,
             use_sigmoid=True,
         ),
-        num_classes=16,
+        num_classes=11,
         stacked_convs=2,
         target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
         target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
@@ -117,7 +117,8 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        dataset_type="FAIR1M_1_5",
+        images_dir="datasets/Detection/preprocessed/test_1024_200_1.0/images",
         num_workers=4,
         transforms=[
             dict(
@@ -138,9 +139,9 @@ dataset = dict(
         ],
     ),
     train=dict(
-        type="DOTADataset",
+        type="FAIR1M_1_5_Dataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/Detection/preprocessed/train_1024_200_1.0",
         filter_empty_gt=False,
         num_workers=4,
         shuffle=True,
@@ -167,9 +168,9 @@ dataset = dict(
         ],
     ),
     val=dict(
-        type="DOTADataset",
+        type="FAIR1M_1_5_Dataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/Detection/preprocessed/train_1024_200_1.0",
         num_workers=4,
         shuffle=False,
         transforms=[
@@ -217,7 +218,9 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+dataset_root = "datasets/Detection"
+
+eval_interval = 1
 
 log_interval = 50
 

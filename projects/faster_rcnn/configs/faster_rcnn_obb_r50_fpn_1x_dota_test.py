@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/faster_rcnn/configs/faster_rcnn_obb_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/faster_rcnn/configs/faster_rcnn_obb_r50_fpn_1x_dota_test.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -175,7 +175,7 @@ dataset = dict(
             dict(
                 type="RotatedRandomFlip",
                 direction="horizontal",
-                prob=0.5,
+                prob=0,
             ),
             dict(
                 type="Pad",
@@ -213,13 +213,7 @@ dataset = dict(
 
 optimizer = dict(
     type="SGD",
-    grad_clip=dict(
-        max_norm=35,
-        norm_type=2,
-    ),
-    lr=0.01,
-    momentum=0.9,
-    weight_decay=0.0001,
+    lr=0.005,
 )
 
 scheduler = dict(
@@ -238,8 +232,8 @@ checkpoint_interval = 1
 
 dataset_type = "DOTADataset"
 
-eval_interval = 6
+eval_interval = 1
 
-log_interval = 20
+log_interval = 1
 
 max_epoch = 12

@@ -1,115 +1,62 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/fcos/configs/fcos_obb_test.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
 # Regenerate with tools/port_reference_configs.py.
 
 model = dict(
-    type="S2ANet",
+    type="FCOS",
     backbone=dict(
         type="Resnet50",
         frozen_stages=1,
+        norm_eval=True,
         pretrained=True,
         return_stages=["layer1", "layer2", "layer3", "layer4"],
     ),
-    bbox_head=dict(
-        type="S2ANetHead",
-        anchor_ratios=[1.0],
-        anchor_scales=[4],
-        anchor_strides=[8, 16, 32, 64, 128],
-        feat_channels=256,
-        in_channels=256,
-        loss_fam_bbox=dict(
-            type="SmoothL1Loss",
-            beta=0.1111111111111111,
-            loss_weight=1.0,
-        ),
-        loss_fam_cls=dict(
-            type="FocalLoss",
-            alpha=0.25,
-            gamma=2.0,
-            loss_weight=1.0,
-            use_sigmoid=True,
-        ),
-        loss_odm_bbox=dict(
-            type="SmoothL1Loss",
-            beta=0.1111111111111111,
-            loss_weight=1.0,
-        ),
-        loss_odm_cls=dict(
-            type="FocalLoss",
-            alpha=0.25,
-            gamma=2.0,
-            loss_weight=1.0,
-            use_sigmoid=True,
-        ),
-        num_classes=16,
-        stacked_convs=2,
-        target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
-        target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
-        test_cfg=dict(
-            max_per_img=2000,
-            min_bbox_size=0,
-            nms=dict(
-                type="nms_rotated",
-                iou_thr=0.1,
-            ),
-            nms_pre=2000,
-            score_thr=0.05,
-        ),
-        train_cfg=dict(
-            fam_cfg=dict(
-                allowed_border=-1,
-                assigner=dict(
-                    type="MaxIoUAssigner",
-                    ignore_iof_thr=-1,
-                    iou_calculator=dict(
-                        type="BboxOverlaps2D_rotated",
-                    ),
-                    min_pos_iou=0,
-                    neg_iou_thr=0.4,
-                    pos_iou_thr=0.5,
-                ),
-                bbox_coder=dict(
-                    type="DeltaXYWHABBoxCoder",
-                    clip_border=True,
-                    target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
-                    target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
-                ),
-                debug=False,
-                pos_weight=-1,
-            ),
-            odm_cfg=dict(
-                allowed_border=-1,
-                assigner=dict(
-                    type="MaxIoUAssigner",
-                    ignore_iof_thr=-1,
-                    iou_calculator=dict(
-                        type="BboxOverlaps2D_rotated",
-                    ),
-                    min_pos_iou=0,
-                    neg_iou_thr=0.4,
-                    pos_iou_thr=0.5,
-                ),
-                bbox_coder=dict(
-                    type="DeltaXYWHABBoxCoder",
-                    clip_border=True,
-                    target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
-                    target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
-                ),
-                debug=False,
-                pos_weight=-1,
-            ),
-        ),
-        with_orconv=True,
-    ),
     neck=dict(
         type="FPN",
-        add_extra_convs="on_input",
+        add_extra_convs="on_output",
         in_channels=[256, 512, 1024, 2048],
         num_outs=5,
         out_channels=256,
+        relu_before_extra_convs=True,
         start_level=1,
+    ),
+    roi_heads=dict(
+        type="FCOSHead",
+        feat_channels=256,
+        in_channels=256,
+        loss_bbox=dict(
+            type="PolyIoULoss",
+            loss_weight=1.0,
+        ),
+        loss_centerness=dict(
+            type="CrossEntropyLoss",
+            loss_weight=1.0,
+            use_bce=True,
+        ),
+        loss_cls=dict(
+            type="FocalLoss",
+            alpha=0.25,
+            gamma=2.0,
+            loss_weight=1.0,
+        ),
+        norm_on_bbox=True,
+        num_classes=15,
+        scale_theta=True,
+        stacked_convs=4,
+        strides=[8, 16, 32, 64, 128],
+        test_cfg=dict(
+            centerness_factor=0.5,
+            max_per_img=2000,
+            min_bbox_size=0,
+            nms=dict(
+                type="obb_nms",
+                iou_thr=0.1,
+            ),
+            nms_pre=1000,
+            score_thr=0.05,
+        ),
     ),
 )
 
@@ -117,7 +64,7 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        images_dir="datasets/DOTA_1024/test_split/images",
         num_workers=4,
         transforms=[
             dict(
@@ -139,9 +86,10 @@ dataset = dict(
     ),
     train=dict(
         type="DOTADataset",
+        annotations_file="datasets/DOTA_1024/trainval_split/trainval1024.pkl",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
         filter_empty_gt=False,
+        images_dir="datasets/DOTA_1024/trainval_split/images",
         num_workers=4,
         shuffle=True,
         transforms=[
@@ -168,8 +116,9 @@ dataset = dict(
     ),
     val=dict(
         type="DOTADataset",
+        annotations_file="datasets/DOTA_1024/trainval_split/trainval1024.pkl",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        images_dir="datasets/DOTA_1024/trainval_split/images",
         num_workers=4,
         shuffle=False,
         transforms=[
@@ -205,7 +154,7 @@ optimizer = dict(
 
 scheduler = dict(
     type="StepLR",
-    milestones=[7, 10],
+    milestones=[8, 11],
     warmup="linear",
     warmup_iters=500,
     warmup_ratio=0.3333333333333333,
@@ -217,7 +166,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 12
 
 log_interval = 50
 

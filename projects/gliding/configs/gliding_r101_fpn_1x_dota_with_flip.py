@@ -1,26 +1,25 @@
-# Ported from the reference config zoo: configs/orcnn_van3_7_anchor_swa_1.py
+# Ported from the reference config zoo: projects/gliding/configs/gliding_r101_fpn_1x_dota_with_flip.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
 # Regenerate with tools/port_reference_configs.py.
 
 model = dict(
-    type="OrientedRCNN",
+    type="GlidingVertex",
     backbone=dict(
-        type="van_b3",
-        img_size=1024,
-        num_stages=4,
-        out_indices=[0, 1, 2, 3],
+        type="Resnet101",
+        frozen_stages=1,
         pretrained=True,
+        return_stages=["layer1", "layer2", "layer3", "layer4"],
     ),
     bbox_head=dict(
-        type="OrientedHead",
+        type="GlidingHead",
         assigner=dict(
             type="MaxIoUAssigner",
             assigned_labels_filled=-1,
             ignore_iof_thr=-1,
             iou_calculator=dict(
-                type="BboxOverlaps2D_rotated_v1",
+                type="BboxOverlaps2D",
             ),
             match_low_quality=False,
             min_pos_iou=0.5,
@@ -28,63 +27,83 @@ model = dict(
             pos_iou_thr=0.5,
         ),
         bbox_coder=dict(
-            type="OrientedDeltaXYWHTCoder",
-            target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
-            target_stds=[0.1, 0.1, 0.2, 0.2, 0.1],
+            type="GVDeltaXYWHBBoxCoder",
+            target_means=[0.0, 0.0, 0.0, 0.0],
+            target_stds=[0.1, 0.1, 0.2, 0.2],
         ),
-        bbox_roi_extractor=dict(
-            type="OrientedSingleRoIExtractor",
-            extend_factor=[1.4, 1.2],
-            featmap_strides=[4, 8, 16, 32],
-            out_channels=256,
-            roi_layer=dict(
-                type="ROIAlignRotated_v1",
-                output_size=7,
-                sampling_ratio=2,
-            ),
-        ),
-        end_bbox_type="obb",
-        fc_out_channels=1024,
-        in_channels=256,
-        loss_bbox=dict(
+        bbox_loss=dict(
             type="SmoothL1Loss",
             beta=1.0,
             loss_weight=1.0,
         ),
-        loss_cls=dict(
+        bbox_roi_extractor=dict(
+            type="SingleRoIExtractor",
+            featmap_strides=[4, 8, 16, 32],
+            out_channels=256,
+            roi_layer=dict(
+                type="ROIAlign",
+                output_size=7,
+                sampling_ratio=2,
+                version=1,
+            ),
+        ),
+        box_weights=[10.0, 10.0, 5.0, 5.0],
+        cls_loss=dict(
             type="CrossEntropyLoss",
         ),
-        num_classes=10,
+        detections_per_img=2000,
+        end_bbox_type="poly",
+        fix_coder=dict(
+            type="GVFixCoder",
+        ),
+        fix_loss=dict(
+            type="SmoothL1Loss",
+            beta=0.3333333333333333,
+            loss_weight=1.0,
+        ),
+        in_channels=256,
+        max_per_img=2000,
+        nms_thresh=0.3,
+        num_classes=15,
+        pooler_resolution=7,
+        pooler_sampling_ratio=0,
+        pooler_scales=[0.25, 0.125, 0.0625, 0.03125, 0.015625],
         pos_weight=-1,
-        reg_class_agnostic=True,
-        reg_decoded_bbox=False,
-        reg_dim=None,
+        ratio_coder=dict(
+            type="GVRatioCoder",
+        ),
+        ratio_loss=dict(
+            type="SmoothL1Loss",
+            beta=0.3333333333333333,
+            loss_weight=16.0,
+        ),
+        ratio_thr=0.8,
+        reg_class_agnostic=False,
+        representation_dim=1024,
         sampler=dict(
-            type="RandomSamplerRotated",
+            type="RandomSampler",
             add_gt_as_proposals=True,
             neg_pos_ub=-1,
             num=512,
             pos_fraction=0.25,
         ),
-        score_thresh=0.01,
-        start_bbox_type="obb",
+        score_thresh=0.05,
+        start_bbox_type="hbb",
         with_avg_pool=False,
         with_bbox=True,
-        with_cls=True,
-        with_reg=True,
         with_shared_head=False,
     ),
     neck=dict(
         type="FPN",
-        in_channels=[64, 128, 320, 512],
+        in_channels=[256, 512, 1024, 2048],
         num_outs=5,
         out_channels=256,
     ),
     rpn=dict(
-        type="OrientedRPNHead",
+        type="GlidingRPNHead",
         anchor_generator=dict(
             type="AnchorGenerator",
-            ratios=[0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0],
+            ratios=[0.5, 1.0, 2.0],
             scales=[8],
             strides=[4, 8, 16, 32, 64],
         ),
@@ -97,13 +116,11 @@ model = dict(
             neg_iou_thr=0.3,
             pos_iou_thr=0.7,
         ),
-        background_label=0,
         bbox_coder=dict(
-            type="MidpointOffsetCoder",
-            target_means=[0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
-            target_stds=[1.0, 1.0, 1.0, 1.0, 0.5, 0.5],
+            type="GVDeltaXYWHBBoxCoder",
+            target_means=[0.0, 0.0, 0.0, 0.0],
+            target_stds=[1.0, 1.0, 1.0, 1.0],
         ),
-        bbox_type="obb",
         feat_channels=256,
         in_channels=256,
         loss_bbox=dict(
@@ -112,18 +129,14 @@ model = dict(
             loss_weight=1.0,
         ),
         loss_cls=dict(
-            type="CrossEntropyLossForRcnn",
+            type="CrossEntropyLoss",
             loss_weight=1.0,
-            use_sigmoid=True,
         ),
         min_bbox_size=0,
         nms_post=2000,
         nms_pre=2000,
-        nms_thresh=0.8,
-        num_classes=1,
-        pos_weight=-1,
-        reg_decoded_bbox=False,
-        reg_dim=6,
+        nms_thresh=0.7,
+        num_classes=2,
         sampler=dict(
             type="RandomSampler",
             add_gt_as_proposals=False,
@@ -138,13 +151,11 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        dataset_type="FAIR1M_1_5",
-        images_dir="datasets/data/private/LYX/data/test_2_preprocessed_ms/test_1024_200_0.5-1.0-1.5/images",
+        images_dir="datasets/DOTA_1024/test_split/images",
         num_workers=4,
         transforms=[
             dict(
                 type="RotatedResize",
-                angle_version="le90",
                 max_size=1024,
                 min_size=1024,
             ),
@@ -156,21 +167,22 @@ dataset = dict(
                 type="Normalize",
                 mean=[123.675, 116.28, 103.53],
                 std=[58.395, 57.12, 57.375],
-                to_bgr=False,
+                to_bgr=True,
             ),
         ],
     ),
     train=dict(
-        type="FAIR1M_1_5_Dataset",
-        batch_size=8,
-        dataset_dir="datasets/data/private/LYX/data/FAIR1M2.0_v2_extra_gray_color_preprocessed_ms/train_1024_200_0.5-1.0-1.5",
+        type="DOTADataset",
+        annotations_file="datasets/DOTA_1024/trainval_split/trainval1024.pkl",
+        balance_category=False,
+        batch_size=2,
         filter_empty_gt=False,
-        num_workers=8,
+        images_dir="datasets/DOTA_1024/trainval_split/images",
+        num_workers=4,
         shuffle=True,
         transforms=[
             dict(
                 type="RotatedResize",
-                angle_version="le90",
                 max_size=1024,
                 min_size=1024,
             ),
@@ -179,11 +191,6 @@ dataset = dict(
                 prob=0.5,
             ),
             dict(
-                type="RandomRotateAug",
-                angle_version="le90",
-                random_rotate_on=True,
-            ),
-            dict(
                 type="Pad",
                 size_divisor=32,
             ),
@@ -191,20 +198,20 @@ dataset = dict(
                 type="Normalize",
                 mean=[123.675, 116.28, 103.53],
                 std=[58.395, 57.12, 57.375],
-                to_bgr=False,
+                to_bgr=True,
             ),
         ],
     ),
     val=dict(
-        type="FAIR1M_1_5_Dataset",
-        batch_size=8,
-        dataset_dir="datasets/data/private/LYX/data/preprocessed_ms/train_1024_200_0.5-1.0-1.5",
-        num_workers=8,
+        type="DOTADataset",
+        annotations_file="datasets/DOTA_1024/trainval_split/trainval1024.pkl",
+        batch_size=2,
+        images_dir="datasets/DOTA_1024/trainval_split/images",
+        num_workers=4,
         shuffle=False,
         transforms=[
             dict(
                 type="RotatedResize",
-                angle_version="le90",
                 max_size=1024,
                 min_size=1024,
             ),
@@ -223,9 +230,14 @@ dataset = dict(
 )
 
 optimizer = dict(
-    type="AdamW",
-    lr=0.0001,
-    weight_decay=0.05,
+    type="SGD",
+    grad_clip=dict(
+        max_norm=35,
+        norm_type=2,
+    ),
+    lr=0.005,
+    momentum=0.9,
+    weight_decay=0.0001,
 )
 
 scheduler = dict(
@@ -233,38 +245,17 @@ scheduler = dict(
     milestones=[7, 10],
     warmup="linear",
     warmup_iters=500,
-    warmup_ratio=0.3333333333333333,
-)
-
-optimizer_swa = dict(
-    type="AdamW",
-    lr=0.0001,
-    weight_decay=0.05,
-)
-
-scheduler_swa = dict(
-    type="CosineAnnealingLR",
-    min_lr=1e-06,
+    warmup_ratio=0.001,
 )
 
 logger = dict(
     type="RunLogger",
 )
 
-angle_version = "le90"
-
 checkpoint_interval = 1
 
-dataset_root = "datasets/data/private/LYX/data"
+eval_interval = 1
 
-eval_interval = 20
+log_interval = 50
 
-log_interval = 200
-
-max_epoch = 9
-
-merge_nms_threshold_type = 1
-
-num_classes = 10
-
-swa_start_epoch = 12
+max_epoch = 12

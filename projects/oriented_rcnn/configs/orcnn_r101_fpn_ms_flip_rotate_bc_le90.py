@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: configs/orcnn_van3_7_anchor_swa_1.py
+# Ported from the reference config zoo: projects/oriented_rcnn/configs/orcnn_r101_fpn_ms_flip_rotate_bc_le90.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -7,11 +7,10 @@
 model = dict(
     type="OrientedRCNN",
     backbone=dict(
-        type="van_b3",
-        img_size=1024,
-        num_stages=4,
-        out_indices=[0, 1, 2, 3],
+        type="Resnet101",
+        frozen_stages=1,
         pretrained=True,
+        return_stages=["layer1", "layer2", "layer3", "layer4"],
     ),
     bbox_head=dict(
         type="OrientedHead",
@@ -66,7 +65,7 @@ model = dict(
             num=512,
             pos_fraction=0.25,
         ),
-        score_thresh=0.01,
+        score_thresh=0.05,
         start_bbox_type="obb",
         with_avg_pool=False,
         with_bbox=True,
@@ -76,7 +75,7 @@ model = dict(
     ),
     neck=dict(
         type="FPN",
-        in_channels=[64, 128, 320, 512],
+        in_channels=[256, 512, 1024, 2048],
         num_outs=5,
         out_channels=256,
     ),
@@ -84,7 +83,7 @@ model = dict(
         type="OrientedRPNHead",
         anchor_generator=dict(
             type="AnchorGenerator",
-            ratios=[0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0],
+            ratios=[0.5, 1.0, 2.0],
             scales=[8],
             strides=[4, 8, 16, 32, 64],
         ),
@@ -139,7 +138,7 @@ dataset = dict(
         type="ImageDataset",
         batch_size=1,
         dataset_type="FAIR1M_1_5",
-        images_dir="datasets/data/private/LYX/data/test_2_preprocessed_ms/test_1024_200_0.5-1.0-1.5/images",
+        images_dir="datasets/data/private/LYX/data/preprocessed_ms/test_1024_200_0.5-1.0-1.5/images",
         num_workers=4,
         transforms=[
             dict(
@@ -162,8 +161,8 @@ dataset = dict(
     ),
     train=dict(
         type="FAIR1M_1_5_Dataset",
-        batch_size=8,
-        dataset_dir="datasets/data/private/LYX/data/FAIR1M2.0_v2_extra_gray_color_preprocessed_ms/train_1024_200_0.5-1.0-1.5",
+        batch_size=16,
+        dataset_dir="datasets/data/private/LYX/data/FAIR1M2.0_preprocessed_ms/train_1024_200_0.5-1.0-1.5",
         filter_empty_gt=False,
         num_workers=8,
         shuffle=True,
@@ -197,7 +196,7 @@ dataset = dict(
     ),
     val=dict(
         type="FAIR1M_1_5_Dataset",
-        batch_size=8,
+        batch_size=16,
         dataset_dir="datasets/data/private/LYX/data/preprocessed_ms/train_1024_200_0.5-1.0-1.5",
         num_workers=8,
         shuffle=False,
@@ -223,9 +222,14 @@ dataset = dict(
 )
 
 optimizer = dict(
-    type="AdamW",
-    lr=0.0001,
-    weight_decay=0.05,
+    type="SGD",
+    grad_clip=dict(
+        max_norm=35,
+        norm_type=2,
+    ),
+    lr=0.005,
+    momentum=0.9,
+    weight_decay=0.0001,
 )
 
 scheduler = dict(
@@ -233,18 +237,7 @@ scheduler = dict(
     milestones=[7, 10],
     warmup="linear",
     warmup_iters=500,
-    warmup_ratio=0.3333333333333333,
-)
-
-optimizer_swa = dict(
-    type="AdamW",
-    lr=0.0001,
-    weight_decay=0.05,
-)
-
-scheduler_swa = dict(
-    type="CosineAnnealingLR",
-    min_lr=1e-06,
+    warmup_ratio=0.001,
 )
 
 logger = dict(
@@ -257,14 +250,8 @@ checkpoint_interval = 1
 
 dataset_root = "datasets/data/private/LYX/data"
 
-eval_interval = 20
+eval_interval = 3
 
-log_interval = 200
+log_interval = 50
 
-max_epoch = 9
-
-merge_nms_threshold_type = 1
-
-num_classes = 10
-
-swa_start_epoch = 12
+max_epoch = 12

@@ -1,5 +1,5 @@
 """Regression entry for this project (reference
-``projects/ssd/test_ssd.py`` pattern): delegates to the shared
+``projects/oriented_rcnn/regress_oriented_rcnn.py`` pattern): delegates to the shared
 pytest harness — golden-loss / smoke tests for this model family."""
 
 import os
@@ -12,6 +12,5 @@ if __name__ == "__main__":
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
          os.path.join(root, "tests", "test_golden_loss.py"),
-         os.path.join(root, "tests", "test_networks_smoke.py"),
-         "-k", "ssd", "-x", "-q"],
+         "-k", "orcnn", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))

@@ -1,5 +1,5 @@
 """Regression entry for this project (reference
-``projects/r3det/test_r3det.py`` pattern): delegates to the shared
+``projects/r3det/regress_r3det.py`` pattern): delegates to the shared
 pytest harness — golden-loss / smoke tests for this model family."""
 
 import os

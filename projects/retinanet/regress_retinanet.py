@@ -1,5 +1,5 @@
 """Regression entry for this project (reference
-``projects/faster_rcnn/test_faster_rcnn.py`` pattern): delegates to the shared
+``projects/retinanet/regress_retinanet.py`` pattern): delegates to the shared
 pytest harness — golden-loss / smoke tests for this model family."""
 
 import os
@@ -11,6 +11,6 @@ if __name__ == "__main__":
                         "..", "..")
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
-         os.path.join(root, "tests", "test_networks_smoke.py"),
-         "-k", "faster_rcnn", "-x", "-q"],
+         os.path.join(root, "tests", "test_golden_loss.py"),
+         "-k", "retinanet", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))

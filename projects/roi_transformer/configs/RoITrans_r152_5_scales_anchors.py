@@ -1,13 +1,13 @@
-# Ported from the reference config zoo: projects/faster_rcnn/configs/faster_rcnn_obb_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/roi_transformer/configs/RoITrans_r152_5_scales_anchors.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
 # Regenerate with tools/port_reference_configs.py.
 
 model = dict(
-    type="FasterRCNNOBB",
+    type="RoITransformer",
     backbone=dict(
-        type="Resnet50",
+        type="Resnet152",
         frozen_stages=1,
         pretrained=True,
         return_stages=["layer1", "layer2", "layer3", "layer4"],
@@ -15,7 +15,6 @@ model = dict(
     bbox_head=dict(
         type="SharedFCBBoxHeadRbbox",
         fc_out_channels=1024,
-        hbb_trans="hbbpolyobb",
         in_channels=256,
         loss_bbox=dict(
             type="SmoothL1Loss",
@@ -29,7 +28,7 @@ model = dict(
         ),
         num_classes=16,
         num_fcs=2,
-        reg_class_agnostic=False,
+        reg_class_agnostic=True,
         roi_feat_size=7,
         target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
         target_stds=[0.1, 0.1, 0.2, 0.2, 0.1],
@@ -54,10 +53,41 @@ model = dict(
         out_channels=256,
         start_level=0,
     ),
-    pretrained="modelzoo://resnet50",
+    pretrained="modelzoo://resnet152",
+    rbbox_head=dict(
+        type="SharedFCBBoxHeadRbbox",
+        fc_out_channels=1024,
+        in_channels=256,
+        loss_bbox=dict(
+            type="SmoothL1Loss",
+            beta=1.0,
+            loss_weight=1.0,
+        ),
+        loss_cls=dict(
+            type="CrossEntropyLossForRcnn",
+            loss_weight=1.0,
+            use_sigmoid=False,
+        ),
+        num_classes=16,
+        num_fcs=2,
+        reg_class_agnostic=False,
+        roi_feat_size=7,
+        target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
+        target_stds=[0.05, 0.05, 0.1, 0.1, 0.05],
+    ),
+    rbbox_roi_extractor=dict(
+        type="RboxSingleRoIExtractor",
+        featmap_strides=[4, 8, 16, 32],
+        out_channels=256,
+        roi_layer=dict(
+            type="ROIAlignRotated",
+            output_size=7,
+            sampling_ratio=2,
+        ),
+    ),
     rpn_head=dict(
         type="FasterrcnnHead",
-        anchor_ratios=[0.5, 1.0, 2.0],
+        anchor_ratios=[0.2, 0.5, 1.0, 2.0, 5.0],
         anchor_scales=[8],
         anchor_strides=[4, 8, 16, 32, 64],
         feat_channels=256,
@@ -94,27 +124,50 @@ model = dict(
         ),
     ),
     train_cfg=dict(
-        rcnn=dict(
-            assigner=dict(
-                type="MaxIoUAssigner",
-                ignore_iof_thr=-1,
-                iou_calculator=dict(
-                    type="BboxOverlaps2D_v1",
+        rcnn=[
+            dict(
+                assigner=dict(
+                    type="MaxIoUAssigner",
+                    ignore_iof_thr=-1,
+                    iou_calculator=dict(
+                        type="BboxOverlaps2D_v1",
+                    ),
+                    min_pos_iou=0.5,
+                    neg_iou_thr=0.5,
+                    pos_iou_thr=0.5,
                 ),
-                min_pos_iou=0.5,
-                neg_iou_thr=0.5,
-                pos_iou_thr=0.5,
+                debug=False,
+                pos_weight=-1,
+                sampler=dict(
+                    type="RandomSampler",
+                    add_gt_as_proposals=True,
+                    neg_pos_ub=-1,
+                    num=512,
+                    pos_fraction=0.25,
+                ),
             ),
-            debug=False,
-            pos_weight=-1,
-            sampler=dict(
-                type="RandomSampler",
-                add_gt_as_proposals=True,
-                neg_pos_ub=-1,
-                num=512,
-                pos_fraction=0.25,
+            dict(
+                assigner=dict(
+                    type="MaxIoUAssignerRbbox",
+                    ignore_iof_thr=-1,
+                    iou_calculator=dict(
+                        type="BboxOverlaps2D_rotated",
+                    ),
+                    min_pos_iou=0.5,
+                    neg_iou_thr=0.5,
+                    pos_iou_thr=0.5,
+                ),
+                debug=False,
+                pos_weight=-1,
+                sampler=dict(
+                    type="RandomSamplerRotated",
+                    add_gt_as_proposals=True,
+                    neg_pos_ub=-1,
+                    num=512,
+                    pos_fraction=0.25,
+                ),
             ),
-        ),
+        ],
         rpn=dict(
             allowed_border=0,
             assigner=dict(
@@ -149,11 +202,19 @@ model = dict(
 )
 
 dataset = dict(
-    imgs_per_gpu=2,
     test=dict(
         type="ImageDataset",
-        images_dir="datasets/DOTA_1024/test_split/images",
+        batch_size=1,
+        dataset_type="FAIR1M_1_5",
+        images_dir="datasets/data/private/LYX/data/test_2_preprocessed_ms/test_1024_200_0.5-1.0-1.5/images",
+        num_workers=4,
         transforms=[
+            dict(
+                type="RotatedResize",
+                angle_version="le90",
+                max_size=1024,
+                min_size=1024,
+            ),
             dict(
                 type="Pad",
                 size_divisor=32,
@@ -162,22 +223,34 @@ dataset = dict(
                 type="Normalize",
                 mean=[123.675, 116.28, 103.53],
                 std=[58.395, 57.12, 57.375],
-                to_bgr=True,
+                to_bgr=False,
             ),
         ],
     ),
     train=dict(
-        type="DOTADataset",
-        batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
-        filter_min_size=32,
+        type="FAIR1M_1_5_Dataset",
+        batch_size=8,
+        dataset_dir="datasets/data/private/LYX/data/FAIR1M2.0_preprocessed_ms/train_1024_200_0.5-1.0-1.5",
+        filter_empty_gt=False,
+        num_workers=8,
+        shuffle=True,
         transforms=[
             dict(
+                type="RotatedResize",
+                angle_version="le90",
+                max_size=1024,
+                min_size=1024,
+            ),
+            dict(
                 type="RotatedRandomFlip",
-                direction="horizontal",
                 prob=0.5,
             ),
             dict(
+                type="RandomRotateAug",
+                angle_version="le90",
+                random_rotate_on=True,
+            ),
+            dict(
                 type="Pad",
                 size_divisor=32,
             ),
@@ -185,16 +258,23 @@ dataset = dict(
                 type="Normalize",
                 mean=[123.675, 116.28, 103.53],
                 std=[58.395, 57.12, 57.375],
-                to_bgr=True,
+                to_bgr=False,
             ),
         ],
-        version="1",
     ),
     val=dict(
-        type="DOTADataset",
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
-        filter_min_size=32,
+        type="FAIR1M_1_5_Dataset",
+        batch_size=8,
+        dataset_dir="datasets/data/private/LYX/data/preprocessed_ms/train_1024_200_0.5-1.0-1.5",
+        num_workers=8,
+        shuffle=False,
         transforms=[
+            dict(
+                type="RotatedResize",
+                angle_version="le90",
+                max_size=1024,
+                min_size=1024,
+            ),
             dict(
                 type="Pad",
                 size_divisor=32,
@@ -203,12 +283,10 @@ dataset = dict(
                 type="Normalize",
                 mean=[123.675, 116.28, 103.53],
                 std=[58.395, 57.12, 57.375],
-                to_bgr=True,
+                to_bgr=False,
             ),
         ],
-        version="1",
     ),
-    workers_per_gpu=2,
 )
 
 optimizer = dict(
@@ -217,14 +295,14 @@ optimizer = dict(
         max_norm=35,
         norm_type=2,
     ),
-    lr=0.01,
+    lr=0.0025,
     momentum=0.9,
     weight_decay=0.0001,
 )
 
 scheduler = dict(
     type="StepLR",
-    milestones=[7, 10],
+    milestones=[8, 11],
     warmup="linear",
     warmup_iters=500,
     warmup_ratio=0.3333333333333333,
@@ -234,12 +312,14 @@ logger = dict(
     type="RunLogger",
 )
 
+angle_version = "le90"
+
 checkpoint_interval = 1
 
-dataset_type = "DOTADataset"
+dataset_root = "datasets/data/private/LYX/data"
 
-eval_interval = 6
+eval_interval = 1
 
-log_interval = 20
+log_interval = 100
 
 max_epoch = 12

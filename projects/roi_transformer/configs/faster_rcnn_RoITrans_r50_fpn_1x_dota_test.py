@@ -1,11 +1,11 @@
-# Ported from the reference config zoo: projects/faster_rcnn/configs/faster_rcnn_obb_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/roi_transformer/configs/faster_rcnn_RoITrans_r50_fpn_1x_dota_test.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
 # Regenerate with tools/port_reference_configs.py.
 
 model = dict(
-    type="FasterRCNNOBB",
+    type="RoITransformer",
     backbone=dict(
         type="Resnet50",
         frozen_stages=1,
@@ -15,7 +15,6 @@ model = dict(
     bbox_head=dict(
         type="SharedFCBBoxHeadRbbox",
         fc_out_channels=1024,
-        hbb_trans="hbbpolyobb",
         in_channels=256,
         loss_bbox=dict(
             type="SmoothL1Loss",
@@ -29,7 +28,7 @@ model = dict(
         ),
         num_classes=16,
         num_fcs=2,
-        reg_class_agnostic=False,
+        reg_class_agnostic=True,
         roi_feat_size=7,
         target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
         target_stds=[0.1, 0.1, 0.2, 0.2, 0.1],
@@ -55,6 +54,37 @@ model = dict(
         start_level=0,
     ),
     pretrained="modelzoo://resnet50",
+    rbbox_head=dict(
+        type="SharedFCBBoxHeadRbbox",
+        fc_out_channels=1024,
+        in_channels=256,
+        loss_bbox=dict(
+            type="SmoothL1Loss",
+            beta=1.0,
+            loss_weight=1.0,
+        ),
+        loss_cls=dict(
+            type="CrossEntropyLossForRcnn",
+            loss_weight=1.0,
+            use_sigmoid=False,
+        ),
+        num_classes=16,
+        num_fcs=2,
+        reg_class_agnostic=False,
+        roi_feat_size=7,
+        target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
+        target_stds=[0.05, 0.05, 0.1, 0.1, 0.05],
+    ),
+    rbbox_roi_extractor=dict(
+        type="RboxSingleRoIExtractor",
+        featmap_strides=[4, 8, 16, 32],
+        out_channels=256,
+        roi_layer=dict(
+            type="ROIAlignRotated",
+            output_size=7,
+            sampling_ratio=2,
+        ),
+    ),
     rpn_head=dict(
         type="FasterrcnnHead",
         anchor_ratios=[0.5, 1.0, 2.0],
@@ -94,27 +124,50 @@ model = dict(
         ),
     ),
     train_cfg=dict(
-        rcnn=dict(
-            assigner=dict(
-                type="MaxIoUAssigner",
-                ignore_iof_thr=-1,
-                iou_calculator=dict(
-                    type="BboxOverlaps2D_v1",
+        rcnn=[
+            dict(
+                assigner=dict(
+                    type="MaxIoUAssigner",
+                    ignore_iof_thr=-1,
+                    iou_calculator=dict(
+                        type="BboxOverlaps2D_v1",
+                    ),
+                    min_pos_iou=0.5,
+                    neg_iou_thr=0.5,
+                    pos_iou_thr=0.5,
                 ),
-                min_pos_iou=0.5,
-                neg_iou_thr=0.5,
-                pos_iou_thr=0.5,
+                debug=False,
+                pos_weight=-1,
+                sampler=dict(
+                    type="RandomSampler",
+                    add_gt_as_proposals=True,
+                    neg_pos_ub=-1,
+                    num=512,
+                    pos_fraction=0.25,
+                ),
             ),
-            debug=False,
-            pos_weight=-1,
-            sampler=dict(
-                type="RandomSampler",
-                add_gt_as_proposals=True,
-                neg_pos_ub=-1,
-                num=512,
-                pos_fraction=0.25,
+            dict(
+                assigner=dict(
+                    type="MaxIoUAssignerRbbox",
+                    ignore_iof_thr=-1,
+                    iou_calculator=dict(
+                        type="BboxOverlaps2D_rotated",
+                    ),
+                    min_pos_iou=0.5,
+                    neg_iou_thr=0.5,
+                    pos_iou_thr=0.5,
+                ),
+                debug=False,
+                pos_weight=-1,
+                sampler=dict(
+                    type="RandomSamplerRotated",
+                    add_gt_as_proposals=True,
+                    neg_pos_ub=-1,
+                    num=512,
+                    pos_fraction=0.25,
+                ),
             ),
-        ),
+        ],
         rpn=dict(
             allowed_border=0,
             assigner=dict(
@@ -171,6 +224,7 @@ dataset = dict(
         batch_size=2,
         dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
         filter_min_size=32,
+        shuffle=True,
         transforms=[
             dict(
                 type="RotatedRandomFlip",
@@ -217,14 +271,14 @@ optimizer = dict(
         max_norm=35,
         norm_type=2,
     ),
-    lr=0.01,
+    lr=0.0025,
     momentum=0.9,
     weight_decay=0.0001,
 )
 
 scheduler = dict(
     type="StepLR",
-    milestones=[7, 10],
+    milestones=[8, 11],
     warmup="linear",
     warmup_iters=500,
     warmup_ratio=0.3333333333333333,
@@ -238,8 +292,10 @@ checkpoint_interval = 1
 
 dataset_type = "DOTADataset"
 
-eval_interval = 6
+eval_interval = 13
 
 log_interval = 20
 
 max_epoch = 12
+
+resume_path = "../../work_dirs/faster_rcnn_RoITrans_r50_fpn_1x_dota/checkpoints/ckpt_12.pkl"

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r101_fpn_1x_dota_bs2.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -7,7 +7,7 @@
 model = dict(
     type="S2ANet",
     backbone=dict(
-        type="Resnet50",
+        type="Resnet101",
         frozen_stages=1,
         pretrained=True,
         return_stages=["layer1", "layer2", "layer3", "layer4"],
@@ -117,7 +117,7 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        images_dir="datasets/processed_DOTA/test_1024_200_1.0/images",
         num_workers=4,
         transforms=[
             dict(
@@ -217,7 +217,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 1
 
 log_interval = 50
 

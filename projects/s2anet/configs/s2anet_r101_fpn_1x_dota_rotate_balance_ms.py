@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r101_fpn_1x_dota_rotate_balance_ms.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -7,7 +7,7 @@
 model = dict(
     type="S2ANet",
     backbone=dict(
-        type="Resnet50",
+        type="Resnet101",
         frozen_stages=1,
         pretrained=True,
         return_stages=["layer1", "layer2", "layer3", "layer4"],
@@ -117,7 +117,8 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        dataset_type="FAIR1M_1_5",
+        images_dir="datasets/Detection/preprocessed_ms/test_1024_200_0.5-1.0-1.5/images",
         num_workers=4,
         transforms=[
             dict(
@@ -138,11 +139,11 @@ dataset = dict(
         ],
     ),
     train=dict(
-        type="DOTADataset",
-        batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        type="FAIR1M_1_5_Dataset",
+        batch_size=8,
+        dataset_dir="datasets/Detection/preprocessed_ms/train_1024_200_0.5-1.0-1.5",
         filter_empty_gt=False,
-        num_workers=4,
+        num_workers=8,
         shuffle=True,
         transforms=[
             dict(
@@ -153,6 +154,10 @@ dataset = dict(
             dict(
                 type="RotatedRandomFlip",
                 prob=0.5,
+            ),
+            dict(
+                type="RandomRotateAug",
+                random_rotate_on=True,
             ),
             dict(
                 type="Pad",
@@ -167,10 +172,10 @@ dataset = dict(
         ],
     ),
     val=dict(
-        type="DOTADataset",
-        batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
-        num_workers=4,
+        type="FAIR1M_1_5_Dataset",
+        batch_size=8,
+        dataset_dir="datasets/Detection/preprocessed_ms/train_1024_200_0.5-1.0-1.5",
+        num_workers=8,
         shuffle=False,
         transforms=[
             dict(
@@ -217,7 +222,9 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+dataset_root = "datasets/Detection"
+
+eval_interval = 3
 
 log_interval = 50
 

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r2_101_fpn_1x_dota.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -7,7 +7,7 @@
 model = dict(
     type="S2ANet",
     backbone=dict(
-        type="Resnet50",
+        type="res2net101_26w_4s",
         frozen_stages=1,
         pretrained=True,
         return_stages=["layer1", "layer2", "layer3", "layer4"],
@@ -117,7 +117,7 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        images_dir="datasets/DOTA_1024/test_split/images",
         num_workers=4,
         transforms=[
             dict(
@@ -217,7 +217,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 1
 
 log_interval = 50
 

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota_bs2_steplr.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -117,7 +117,8 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        img_files="datasets/DOTA_1024/test_split/test1024.pkl",
+        img_prefix="datasets/DOTA_1024/test_split/images",
         num_workers=4,
         transforms=[
             dict(
@@ -139,9 +140,10 @@ dataset = dict(
     ),
     train=dict(
         type="DOTADataset",
+        anno_file="datasets/DOTA_1024/trainval_split/trainval1024.pkl",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
         filter_empty_gt=False,
+        image_dir="datasets/DOTA_1024/trainval_split/images",
         num_workers=4,
         shuffle=True,
         transforms=[
@@ -205,7 +207,7 @@ optimizer = dict(
 
 scheduler = dict(
     type="StepLR",
-    milestones=[7, 10],
+    milestones=[8, 11],
     warmup="linear",
     warmup_iters=500,
     warmup_ratio=0.3333333333333333,
@@ -217,7 +219,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 1
 
 log_interval = 50
 

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota_rotate_balance.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -117,7 +117,7 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        images_dir="datasets/processed_DOTA/test_1024_200_1.0/images",
         num_workers=4,
         transforms=[
             dict(
@@ -139,6 +139,7 @@ dataset = dict(
     ),
     train=dict(
         type="DOTADataset",
+        balance_category=True,
         batch_size=2,
         dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
         filter_empty_gt=False,
@@ -153,6 +154,10 @@ dataset = dict(
             dict(
                 type="RotatedRandomFlip",
                 prob=0.5,
+            ),
+            dict(
+                type="RandomRotateAug",
+                random_rotate_on=True,
             ),
             dict(
                 type="Pad",
@@ -217,7 +222,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 1
 
 log_interval = 50
 

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota_rotate_ms.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -117,7 +117,7 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        images_dir="datasets/DOTA_1024_05_10_15/test_1024_200_0.5-1.0-1.5/images",
         num_workers=4,
         transforms=[
             dict(
@@ -140,7 +140,7 @@ dataset = dict(
     train=dict(
         type="DOTADataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/DOTA_1024_05_10_15/trainval_1024_200_0.5-1.0-1.5",
         filter_empty_gt=False,
         num_workers=4,
         shuffle=True,
@@ -153,6 +153,10 @@ dataset = dict(
             dict(
                 type="RotatedRandomFlip",
                 prob=0.5,
+            ),
+            dict(
+                type="RandomRotateAug",
+                random_rotate_on=True,
             ),
             dict(
                 type="Pad",
@@ -169,7 +173,7 @@ dataset = dict(
     val=dict(
         type="DOTADataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/DOTA_1024_05_10_15/trainval_1024_200_0.5-1.0-1.5",
         num_workers=4,
         shuffle=False,
         transforms=[
@@ -217,8 +221,12 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+data_root = "datasets/DOTA_1024_05_10_15"
+
+eval_interval = 3
 
 log_interval = 50
 
 max_epoch = 12
+
+train_root = "datasets/DOTA_1024_05_10_15/trainval_1024_200_0.5-1.0-1.5"

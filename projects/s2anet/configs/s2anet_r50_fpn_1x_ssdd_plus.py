@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_ssdd_plus.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -43,7 +43,7 @@ model = dict(
             loss_weight=1.0,
             use_sigmoid=True,
         ),
-        num_classes=16,
+        num_classes=2,
         stacked_convs=2,
         target_means=[0.0, 0.0, 0.0, 0.0, 0.0],
         target_stds=[1.0, 1.0, 1.0, 1.0, 1.0],
@@ -114,33 +114,10 @@ model = dict(
 )
 
 dataset = dict(
-    test=dict(
-        type="ImageDataset",
-        batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
-        num_workers=4,
-        transforms=[
-            dict(
-                type="RotatedResize",
-                max_size=1024,
-                min_size=1024,
-            ),
-            dict(
-                type="Pad",
-                size_divisor=32,
-            ),
-            dict(
-                type="Normalize",
-                mean=[123.675, 116.28, 103.53],
-                std=[58.395, 57.12, 57.375],
-                to_bgr=False,
-            ),
-        ],
-    ),
     train=dict(
-        type="DOTADataset",
+        type="SSDDDataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/processed_SSDD_plus/train_800",
         filter_empty_gt=False,
         num_workers=4,
         shuffle=True,
@@ -167,9 +144,9 @@ dataset = dict(
         ],
     ),
     val=dict(
-        type="DOTADataset",
+        type="SSDDDataset",
         batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
+        dataset_dir="datasets/processed_SSDD_plus/val_800",
         num_workers=4,
         shuffle=False,
         transforms=[
@@ -217,7 +194,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 1
 
 log_interval = 50
 

@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/s2anet/configs/s2anet_r50_fpn_1x_dota.py
+# Ported from the reference config zoo: projects/s2anet/configs/s2anet_test.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -117,7 +117,7 @@ dataset = dict(
     test=dict(
         type="ImageDataset",
         batch_size=1,
-        images_dir="datasets/DOTA_1024_05_10/test_split/images",
+        images_dir="datasets/DOTA_1024/test_split/images",
         num_workers=4,
         transforms=[
             dict(
@@ -141,36 +141,7 @@ dataset = dict(
         type="DOTADataset",
         batch_size=2,
         dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
-        filter_empty_gt=False,
-        num_workers=4,
-        shuffle=True,
-        transforms=[
-            dict(
-                type="RotatedResize",
-                max_size=1024,
-                min_size=1024,
-            ),
-            dict(
-                type="RotatedRandomFlip",
-                prob=0.5,
-            ),
-            dict(
-                type="Pad",
-                size_divisor=32,
-            ),
-            dict(
-                type="Normalize",
-                mean=[123.675, 116.28, 103.53],
-                std=[58.395, 57.12, 57.375],
-                to_bgr=False,
-            ),
-        ],
-    ),
-    val=dict(
-        type="DOTADataset",
-        batch_size=2,
-        dataset_dir="datasets/processed_DOTA/trainval_1024_200_1.0",
-        num_workers=4,
+        num_workers=0,
         shuffle=False,
         transforms=[
             dict(
@@ -217,7 +188,7 @@ logger = dict(
 
 checkpoint_interval = 1
 
-eval_interval = 2
+eval_interval = 1
 
 log_interval = 50
 

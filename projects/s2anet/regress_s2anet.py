@@ -1,5 +1,5 @@
 """Regression entry for this project (reference
-``projects/gliding/test_gliding.py`` pattern): delegates to the shared
+``projects/s2anet/regress_s2anet.py`` pattern): delegates to the shared
 pytest harness — golden-loss / smoke tests for this model family."""
 
 import os
@@ -12,5 +12,5 @@ if __name__ == "__main__":
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
          os.path.join(root, "tests", "test_golden_loss.py"),
-         "-k", "gliding", "-x", "-q"],
+         "-k", "s2anet", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))

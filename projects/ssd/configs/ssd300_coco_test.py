@@ -1,4 +1,4 @@
-# Ported from the reference config zoo: projects/ssd/configs/ssd300_coco.py
+# Ported from the reference config zoo: projects/ssd/configs/ssd300_coco_test.py
 # (hyperparameter data — values must match the reference
 # recipe for parity; machine-specific dataset paths are
 # rewritten to repo-relative datasets/ locations).
@@ -9,7 +9,7 @@ model = dict(
     backbone=dict(
         type="SSD_VGG16",
         input_size=300,
-        pretrained="weights/vgg16_caffe_numpy.pkl",
+        pretrained="test_datas_ssd/vgg16_caffe.pkl",
     ),
     neck=dict(
         type="SSDNeck",
@@ -90,37 +90,16 @@ dataset = dict(
     train=dict(
         type="COCODataset",
         anno_file="datasets/coco/annotations/instances_train2017.json",
-        batch_size=32,
-        num_workers=4,
+        batch_size=1,
+        num_workers=1,
         root="datasets/coco/images/train2017",
-        shuffle=True,
+        shuffle=False,
         transforms=[
-            dict(
-                type="PhotoMetricDistortion",
-                brightness_delta=0.12549019607843137,
-                contrast_range=[0.5, 1.5],
-                hue_delta=0.05,
-                saturation_range=[0.5, 1.5],
-            ),
-            dict(
-                type="Expand",
-                mean=[123.675, 116.28, 103.53],
-                ratio_range=[1, 4],
-            ),
-            dict(
-                type="MinIoURandomCrop",
-                min_crop_size=0.3,
-                min_ious=[0.1, 0.3, 0.5, 0.7, 0.9],
-            ),
             dict(
                 type="Resize_keep_ratio",
                 keep_ratio=False,
                 max_size=300,
                 min_size=300,
-            ),
-            dict(
-                type="RandomFlip",
-                prob=0.5,
             ),
             dict(
                 type="Normalize",

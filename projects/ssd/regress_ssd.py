@@ -1,5 +1,5 @@
 """Regression entry for this project (reference
-``projects/retinanet/test_retinanet.py`` pattern): delegates to the shared
+``projects/ssd/regress_ssd.py`` pattern): delegates to the shared
 pytest harness — golden-loss / smoke tests for this model family."""
 
 import os
@@ -12,5 +12,6 @@ if __name__ == "__main__":
     sys.exit(subprocess.call(
         [sys.executable, "-m", "pytest",
          os.path.join(root, "tests", "test_golden_loss.py"),
-         "-k", "retinanet", "-x", "-q"],
+         os.path.join(root, "tests", "test_networks_smoke.py"),
+         "-k", "ssd", "-x", "-q"],
         env={**os.environ, "JAX_PLATFORMS": "cpu"}))

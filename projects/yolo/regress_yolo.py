@@ -1,5 +1,5 @@
 """Regression entry for this project (reference
-``projects/yolo/test_yolo.py`` pattern): delegates to the shared
+``projects/yolo/regress_yolo.py`` pattern): delegates to the shared
 pytest harness — golden-loss / smoke tests for this model family."""
 
 import os

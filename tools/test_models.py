@@ -9,7 +9,7 @@ import sys
 root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 failures = []
 for test in sorted(glob.glob(os.path.join(root, "projects", "*",
-                                          "test_*.py"))):
+                                          "regress_*.py"))):
     print("==>", test)
     rc = subprocess.call([sys.executable, test])
     if rc != 0:
