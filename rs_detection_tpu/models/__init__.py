@@ -1,7 +1,8 @@
 """Import all model modules so registry entries are populated."""
 from . import losses  # noqa: F401
-from .backbones import (convnext, lsknet, res2net, resnet,  # noqa: F401
-                        sk2res2net, ssd_vgg, swin, van)
+from .backbones import (convnext, jimm_scope, lsknet,  # noqa: F401
+                        res2net, resnet, sk2res2net, ssd_vgg, swin,
+                        van)
 from .boxes import (anchor_generator, anchor_target, assigner, coder,  # noqa: F401
                     iou_calculator, sampler)
 from .necks import fpn, ssd_neck  # noqa: F401

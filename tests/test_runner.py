@@ -371,3 +371,35 @@ def test_runner_test_on_raw_scene(tmp_path, monkeypatch):
     merged = (tmp_path / "work" /
               f"test/submit_{runner.epoch}/after_nms")
     assert merged.exists()
+
+
+def test_pretrained_true_without_weights_is_a_loud_error(tmp_path):
+    """backbone.pretrained=True with no checkpoint must raise an
+    actionable error naming the converter — never silently train from
+    random init (reference downloads weights here, van.py:421-429)."""
+    import rs_detection_tpu.data  # noqa: F401
+    import rs_detection_tpu.models  # noqa: F401
+    from rs_detection_tpu.config import get_cfg
+    from rs_detection_tpu.runner.runner import Runner
+
+    cfg = get_cfg()
+    cfg.clear()
+    cfg.update(dict(
+        name="pretrained_loud", work_dir=str(tmp_path / "w"),
+        model=dict(type="OrientedRCNN",
+                   backbone=dict(type="Resnet18", pretrained=True),
+                   neck=dict(type="FPN",
+                             in_channels=[64, 128, 256, 512],
+                             out_channels=32, num_outs=5),
+                   rpn=dict(type="OrientedRPNHead", in_channels=32,
+                            feat_channels=32),
+                   bbox_head=dict(type="OrientedHead", num_classes=3,
+                                  in_channels=32))))
+    with pytest.raises(RuntimeError,
+                       match="convert_checkpoint.*allow_random_init"):
+        Runner()
+
+    # the explicit opt-out builds fine
+    cfg.allow_random_init = True
+    r = Runner()
+    assert r.model is not None
