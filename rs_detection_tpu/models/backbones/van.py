@@ -174,6 +174,10 @@ class Mlp(nn.Module):
         if (jax.default_backend() == "tpu" and not train
                 and os.environ.get("RS_VAN_MLP_PALLAS", "1") != "0"):
             return van_mlp(*args)
+        from ...ops.quant import int8_enabled
+        if int8_enabled(train):
+            from ...ops.pallas_van_mlp import _int8_mlp
+            return _int8_mlp(*args)
         return _ref_mlp(*args)
 
 
@@ -210,7 +214,7 @@ class VANBlock(nn.Module):
             return mlp(x, train, affine=(a2, b2), ls=ls2)
 
         h = Norm("bn", name="norm1")(x, train)
-        h = _sa_core(h, *attn_w)
+        h = _sa_core(h, *attn_w, train=train)
         x = x + DropPath(self.drop_path)(ls1.astype(h.dtype) * h,
                                          deterministic=not train)
         h = Norm("bn", name="norm2")(x, train)
@@ -227,10 +231,15 @@ class OverlapPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.dim, (self.patch, self.patch),
-                    (self.stride, self.stride), padding=self.patch // 2,
-                    kernel_init=kaiming_normal_fanout(), dtype=x.dtype,
-                    name="proj")(x)
+        from ...ops.quant import MaybeInt8Conv
+
+        # stage-1's RGB stem stays bf16 (K=3); stages 2-4 are dense
+        # 3x3/s2 convs that ride the int8 MXU path when serving int8
+        x = MaybeInt8Conv(self.dim, (self.patch, self.patch),
+                          (self.stride, self.stride),
+                          padding=self.patch // 2,
+                          kernel_init=kaiming_normal_fanout(),
+                          dtype=x.dtype, name="proj")(x, train)
         return Norm("bn", name="norm")(x, train)
 
 

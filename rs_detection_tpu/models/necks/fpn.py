@@ -14,6 +14,7 @@ from typing import Optional, Sequence, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.quant import MaybeInt8Conv
 from ...utils.registry import NECKS
 from ..utils.modules import kaiming_normal_fanout
 
@@ -46,10 +47,12 @@ class FPN(nn.Module):
                if self.end_level == -1 else self.end_level)
         used = list(inputs[self.start_level:end])
 
+        # MaybeInt8Conv == nn.Conv (same param tree) unless the int8
+        # serving flag routes the dense convs through the MXU s8 path
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=feat.dtype,
-                    kernel_init=kaiming_normal_fanout(),
-                    name=f"lateral_{i}")(feat)
+            MaybeInt8Conv(self.out_channels, (1, 1), dtype=feat.dtype,
+                          kernel_init=kaiming_normal_fanout(),
+                          name=f"lateral_{i}")(feat, train)
             for i, feat in enumerate(used)
         ]
         # top-down pathway
@@ -57,10 +60,10 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest(
                 laterals[i], laterals[i - 1].shape[1:3])
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=1,
-                    dtype=laterals[i].dtype,
-                    kernel_init=kaiming_normal_fanout(),
-                    name=f"fpn_conv_{i}")(laterals[i])
+            MaybeInt8Conv(self.out_channels, (3, 3), padding=1,
+                          dtype=laterals[i].dtype,
+                          kernel_init=kaiming_normal_fanout(),
+                          name=f"fpn_conv_{i}")(laterals[i], train)
             for i in range(len(laterals))
         ]
         # extra levels
@@ -82,9 +85,10 @@ class FPN(nn.Module):
                 for j in range(extra_needed):
                     if j > 0 and self.relu_before_extra_convs:
                         src = nn.relu(src)
-                    src = nn.Conv(self.out_channels, (3, 3), (2, 2),
-                                  padding=1, dtype=src.dtype,
-                                  kernel_init=kaiming_normal_fanout(),
-                                  name=f"extra_conv_{j}")(src)
+                    src = MaybeInt8Conv(
+                        self.out_channels, (3, 3), (2, 2),
+                        padding=1, dtype=src.dtype,
+                        kernel_init=kaiming_normal_fanout(),
+                        name=f"extra_conv_{j}")(src, train)
                     outs.append(src)
         return tuple(outs)

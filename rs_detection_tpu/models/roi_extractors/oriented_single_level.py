@@ -83,11 +83,18 @@ class OrientedSingleRoIExtractor:
         h = rois[:, 4] * ef_h
         rois = jnp.concatenate(
             [rois[:, :3], w[:, None], h[:, None], rois[:, 5:6]], axis=1)
-        # training keeps the pure-XLA path: the Pallas kernel's
-        # backward falls back to the XLA vjp anyway (which re-runs the
-        # XLA forward), so pallas-in-training would only add work
+        # training: the kernel now has a real Pallas backward (A^T
+        # window scatter, ops/pallas_roi_align.py:_pallas_bwd), so the
+        # fwd+bwd pair can ride the window path end-to-end. Opt-in via
+        # RS_ROI_TRAIN_PALLAS=1 until measured on real TPU hardware
+        # (the XLA fwd+bwd costs ~40 ms of the 584 ms batch-8 step,
+        # docs/perf_notes.md).
+        train_pallas = (training
+                        and os.environ.get("RS_ROI_TRAIN_PALLAS",
+                                           "0") == "1")
         use_pallas = (self.impl == "pallas"
-                      or (self.impl == "auto" and not training
+                      or (self.impl == "auto"
+                          and (not training or train_pallas)
                           and jax.default_backend() == "tpu"))
         if use_pallas:
             # forcing impl='pallas' off-TPU only makes sense in

@@ -82,8 +82,13 @@ class OrientedRPNHead(nn.Module):
         self._sampler = RandomSampler(**smp)
         self.num_anchors = self._anchor_gen.num_base_anchors[0]
 
-        self.rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
-                                kernel_init=nn.initializers.normal(0.01))
+        # drop-in nn.Conv with an int8 serving path (RS_INT8=1); the
+        # cls/reg prediction convs below stay bf16 — their outputs
+        # feed box decode directly (quantization scope: VERDICT #2)
+        from ...ops.quant import MaybeInt8Conv
+        self.rpn_conv = MaybeInt8Conv(
+            self.feat_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.normal(0.01))
         self.rpn_cls = nn.Conv(self.num_anchors * self.num_classes, (1, 1),
                                kernel_init=nn.initializers.normal(0.01))
         self.rpn_reg = nn.Conv(self.num_anchors * self.reg_dim, (1, 1),

@@ -346,22 +346,10 @@ def _build_a(sx, sy, win_h: int, win_w: int, s: int, dt):
     return a.reshape(r, pp, win_h * win_w)
 
 
-def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
-             pad_min=(WIN_H, WIN_W)):
-    """Sort rois (std-window tier first, then big-window, then
-    fallback), compute window meta + the dense interpolation matrix A.
-    Returns (a, meta1, meta2, padded feats, sorted rois, sorted
-    levels, inverse permutation)."""
-    num_levels = len(strides)
-    r = rois_f.shape[0]
-
-    h_tab = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
-    w_tab = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
-    fp = [_pad_level(f, min_h=pad_min[0], min_w=pad_min[1])
-          for f in feats]
-    hp_tab = jnp.asarray([f.shape[1] for f in fp], jnp.int32)
-    wp_tab = jnp.asarray([f.shape[2] for f in fp], jnp.int32)
-
+def _fwd_order(rois_f, strides, finest_scale, num_levels):
+    """Level assignment, window-tier classification and the forward
+    sort order — shared by the forward and the backward so the
+    backward can identify the exact fallback-tail roi set."""
     scale = jnp.sqrt(jnp.maximum(rois_f[:, 3] * rois_f[:, 4], 1e-6))
     lvl = jnp.clip(
         jnp.floor(jnp.log2(scale / finest_scale + 1e-6)),
@@ -387,6 +375,27 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
     key = (tier << 27) \
         + ((b_i * num_levels + lvl) << 18) + ((cyi >> 3) << 9) + (cxi >> 3)
     order = jnp.argsort(key)
+    return order, lvl, tier, ext_x, ext_y, inv_stride
+
+
+def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
+             pad_min=(WIN_H, WIN_W)):
+    """Sort rois (std-window tier first, then big-window, then
+    fallback), compute window meta + the dense interpolation matrix A.
+    Returns (a, meta1, meta2, padded feats, sorted rois, sorted
+    levels, inverse permutation)."""
+    num_levels = len(strides)
+    r = rois_f.shape[0]
+
+    h_tab = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+    w_tab = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
+    fp = [_pad_level(f, min_h=pad_min[0], min_w=pad_min[1])
+          for f in feats]
+    hp_tab = jnp.asarray([f.shape[1] for f in fp], jnp.int32)
+    wp_tab = jnp.asarray([f.shape[2] for f in fp], jnp.int32)
+
+    order, lvl, tier, ext_x, ext_y, inv_stride = _fwd_order(
+        rois_f, strides, finest_scale, num_levels)
     inv_order = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0]))
     ros = rois_f[order]
@@ -536,10 +545,253 @@ def _pallas_fwd(feats, rois, output_size, strides, sampling_ratio,
     return out, (list(feats), rois)
 
 
+def _scatter_kernel(img_ref, meta_ref, a_ref, g_ref, *rest,
+                    num_levels: int, rb: int, u8: bool):
+    """A^T window scatter: per roi, ``wg = A^T @ g`` lands additively
+    in a per-image VMEM pyramid accumulator; on image change the
+    accumulator is flushed to the per-level HBM outputs. Grid programs
+    run sequentially on a TensorCore, so VMEM read-modify-write needs
+    no atomics."""
+    out_refs = rest[:num_levels]
+    scr = rest[num_levels:2 * num_levels]
+    sems = rest[2 * num_levels]
+
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    def zero_scr():
+        for l in range(num_levels):
+            scr[l][...] = jnp.zeros(scr[l].shape, scr[l].dtype)
+
+    def flush(img):
+        for l in range(num_levels):
+            pltpu.make_async_copy(scr[l], out_refs[l].at[img],
+                                  sems.at[l]).start()
+        for l in range(num_levels):
+            pltpu.make_async_copy(scr[l], out_refs[l].at[img],
+                                  sems.at[l]).wait()
+
+    @pl.when(i == 0)
+    def _():
+        zero_scr()
+
+    cur = img_ref[i]
+
+    @pl.when(i > 0)
+    def _():
+        prev = img_ref[i - 1]
+
+        @pl.when(cur != prev)
+        def _():
+            flush(prev)
+            zero_scr()
+
+    for k in range(rb):
+        m = meta_ref[i * rb + k]
+        lvl = m // (8192 * 8192)
+        rem = m - lvl * 8192 * 8192
+        y0 = rem // 8192
+        x0 = rem - y0 * 8192
+        a = a_ref[k]                                     # [PP, AREA]
+        if u8:
+            a = a.astype(jnp.int32).astype(jnp.float32)
+        else:
+            a = a.astype(jnp.float32)
+        gk = g_ref[k].astype(jnp.float32)                # [PP, C]
+        wg = jax.lax.dot_general(
+            a, gk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [AREA, C]
+        if u8:
+            wg = wg * (1.0 / 255.0)
+        for l in range(num_levels):
+            @pl.when(lvl == l)
+            def _(l=l):
+                win_hw = wg.reshape(WIN_H, WIN_W,
+                                    gk.shape[-1]).astype(scr[l].dtype)
+                sl = (pl.ds(y0, WIN_H),
+                      pl.ds(pl.multiple_of(x0, X_ALIGN), WIN_W),
+                      slice(None))
+                scr[l][sl] = scr[l][sl] + win_hw
+
+    @pl.when(i == nprog - 1)
+    def _():
+        flush(cur)
+
+
+def _pallas_scatter(a, meta, img_prog, g, level_shapes, n_img: int,
+                    rb: int, dt, interpret: bool):
+    """a: [CAP, PP, AREA]; meta: [CAP] int32 (lvl*2^26+y0*2^13+x0);
+    img_prog: [CAP//rb] int32 (image of each program, non-decreasing);
+    g: [CAP, PP, Cp]. Returns per-level [n_img, Hp, Wp, Cp] gradient
+    accumulations in dtype ``dt``."""
+    num_levels = len(level_shapes)
+    cap, pp, area = a.shape
+    cp = g.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cap // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, pp, area), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pp, cp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+        scratch_shapes=[pltpu.VMEM((hp, wp, cp), dt)
+                        for hp, wp in level_shapes]
+        + [pltpu.SemaphoreType.DMA((num_levels,))],
+    )
+    scr_bytes = sum(hp * wp * cp for hp, wp in level_shapes) \
+        * jnp.dtype(dt).itemsize
+    blk_bytes = 2 * rb * pp * (area * jnp.dtype(a.dtype).itemsize
+                               + cp * jnp.dtype(dt).itemsize)
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, num_levels=num_levels,
+                          rb=rb, u8=a.dtype == jnp.uint8),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_img, hp, wp, cp), dt)
+                   for hp, wp in level_shapes],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(scr_bytes + blk_bytes
+                                 + 8 * 1024 * 1024,
+                                 110 * 1024 * 1024)),
+        interpret=interpret,
+    )(img_prog, meta, a, g)
+
+
+def _pyramid_pallas_bwd_impl(feats, rois, g, output_size: int, strides,
+                             sampling_ratio: int, finest_scale: float,
+                             fallback_frac: float,
+                             rois_per_program: int, interpret: bool):
+    """d_feats for the Pallas forward: A^T window scatter for every
+    windowed roi (exact adjoint — the same A the forward applied,
+    including its u8 quantization on the bf16 path), plus the XLA
+    path's vjp restricted to the forward's fallback-tail roi subset.
+
+    d_rois is zero: rois reach this op detached in the train graph
+    (proposals are decoded from stop_gradient'ed RPN outputs,
+    networks/rcnn.py:112; gt-as-proposals carry no grad). Reference
+    parity: the CUDA kernel also returns no roi grads
+    (``roi_align_rotated_v1.py:351``)."""
+    p, s = output_size, sampling_ratio
+    num_levels = len(strides)
+    feats = list(feats)[:num_levels]
+    c = feats[0].shape[-1]
+    n_img = feats[0].shape[0]
+    dt = feats[0].dtype
+    rbf = rois_per_program
+    r0 = rois.shape[0]
+    r = r0 + (-r0) % rbf
+    rois_f = rois.astype(jnp.float32)
+    g = g.reshape(r0, p * p, c).astype(dt)
+    if r != r0:
+        rois_f = jnp.pad(rois_f, ((0, r - r0), (0, 0)))
+        g = jnp.pad(g, ((0, r - r0), (0, 0), (0, 0)))
+
+    order, lvl, tier, _, _, _ = _fwd_order(
+        rois_f, strides, finest_scale, num_levels)
+
+    # the forward overwrote the sorted tail with the XLA gather path —
+    # that subset backprops through the XLA vjp (compact: n_fb rois)
+    # must match the forward's capacity formula exactly (tail size)
+    n_fb = 0 if fallback_frac <= 0 else \
+        min(r, max(rbf, int(round(r * fallback_frac))))
+    d_feats_fb = None
+    if n_fb:
+        idx_fb = order[r - n_fb:]
+        rois_fb = rois_f[idx_fb]
+        g_fb = g[idx_fb]
+        _, vjp = jax.vjp(
+            lambda f: roi_align_rotated_pyramid(
+                f, rois_fb, p, strides=tuple(strides),
+                sampling_ratio=s, finest_scale=float(finest_scale)),
+            feats)
+        (d_feats_fb,) = vjp(g_fb.reshape(n_fb, p, p, c).astype(dt))
+        mask = jnp.zeros((r,), bool).at[idx_fb].set(True)
+        g = jnp.where(mask[:, None, None], 0, g)
+
+    # window meta + A for every roi, full-window base (identical
+    # weights to the forward's small/micro sub-window placements, and
+    # identical clamping for oversize tier-1 rois)
+    h_tab = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
+    w_tab = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
+    def _padded_shape(f):
+        n_, h_, w_, c_ = f.shape
+        hp = max(WIN_H, h_)
+        wp = max(WIN_W, w_)
+        wp = wp + (-wp) % X_ALIGN
+        return (n_, hp, wp, c_ + (-c_) % 128)
+
+    fp_shapes = [_padded_shape(f) for f in feats]
+    hp_tab = jnp.asarray([sh[1] for sh in fp_shapes], jnp.int32)
+    wp_tab = jnp.asarray([sh[2] for sh in fp_shapes], jnp.int32)
+    x, y, live, (cx, cy, _, _, _, _) = _sample_coords(
+        rois_f, lvl, strides, h_tab, w_tab, p, s)
+    cyi = jnp.floor(cy).astype(jnp.int32)
+    cxi = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.clip(cyi - (WIN_H // 2 - 1), 0, hp_tab[lvl] - WIN_H)
+    x0 = jnp.clip((cxi - (WIN_H // 2 - 1)) // X_ALIGN * X_ALIGN,
+                  0, wp_tab[lvl] - WIN_W)
+    sx = jnp.clip(x - x0[:, None, None].astype(x.dtype), 0.0,
+                  WIN_W - 1.0)
+    sy = jnp.clip(y - y0[:, None, None].astype(y.dtype), 0.0,
+                  WIN_H - 1.0)
+    sx = jnp.where(live, sx, -10.0)
+    a = _build_a(sx, sy, WIN_H, WIN_W, s, dt)
+    meta = (lvl * 8192 + y0) * 8192 + x0
+
+    # pack rois into per-image segments (rb-aligned) so the kernel's
+    # per-image accumulator flushes exactly once per image
+    rb = rbf
+    b_idx = jnp.clip(rois_f[:, 0].astype(jnp.int32), 0, n_img - 1)
+    sort_b = jnp.argsort(b_idx)
+    counts = jnp.bincount(b_idx, length=n_img)
+    cap_img = jnp.maximum(rb, ((counts + rb - 1) // rb) * rb)
+    bounds = jnp.cumsum(cap_img)
+    seg_start = bounds - cap_img
+    src_start = jnp.cumsum(counts) - counts
+    sb = b_idx[sort_b]
+    dest = seg_start[sb] + (jnp.arange(r) - src_start[sb])
+    cap_total = r + n_img * rb                      # static upper bound
+
+    cpad = (-c) % 128
+    cp = c + cpad
+    if cpad:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, cpad)))
+    a_pk = jnp.zeros((cap_total,) + a.shape[1:], a.dtype) \
+        .at[dest].set(a[sort_b])
+    g_pk = jnp.zeros((cap_total, p * p, cp), g.dtype) \
+        .at[dest].set(g[sort_b])
+    m_pk = jnp.zeros((cap_total,), jnp.int32).at[dest].set(meta[sort_b])
+    img_slot = jnp.searchsorted(bounds, jnp.arange(cap_total),
+                                side="right")
+    img_prog = jnp.clip(img_slot[::rb], 0, n_img - 1).astype(jnp.int32)
+
+    level_shapes = [(sh[1], sh[2]) for sh in fp_shapes]
+    d_lvls = _pallas_scatter(a_pk, m_pk, img_prog, g_pk, level_shapes,
+                             n_img, rb, dt, interpret)
+
+    d_feats = []
+    for l, f in enumerate(feats):
+        d = d_lvls[l][:, :f.shape[1], :f.shape[2], :c]
+        if d_feats_fb is not None:
+            d = d + d_feats_fb[l]
+        d_feats.append(d.astype(dt))
+    return d_feats, jnp.zeros_like(rois)
+
+
 def _pallas_bwd(output_size, strides, sampling_ratio, finest_scale,
                 fallback_frac, rois_per_program, interpret, big_frac,
                 res, g):
     feats, rois = res
+    # the A^T scatter kernel covers the standard-window tiers; the
+    # big-window pass (big_frac > 0, off by default) and the explicit
+    # opt-out fall back to the XLA path's full vjp
+    if big_frac <= 0 and os.environ.get("RS_ROI_PALLAS_BWD", "1") != "0":
+        return tuple(_pyramid_pallas_bwd_impl(
+            feats, rois, g, output_size, tuple(strides), sampling_ratio,
+            finest_scale, fallback_frac, rois_per_program, interpret))
     _, vjp = jax.vjp(
         lambda f, rr: roi_align_rotated_pyramid(
             f, rr, output_size, strides=tuple(strides),

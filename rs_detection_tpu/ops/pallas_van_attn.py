@@ -31,16 +31,28 @@ from .activations import exact_gelu
 HALO = 11   # 2 (dw5) + 9 (dw7 dilation 3)
 
 
-def _sa_core(h, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1, wp2, bp2):
+def _sa_core(h, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1, wp2, bp2,
+             train: bool = False):
     """SpatialAttention body on a pre-normed input ``h``:
     ``proj_2(gelu(proj_1(h)) * conv1(dw7d3(dw5(gelu(proj_1(h)))))) + h``
     (the module's inner shortcut included, reference van.py:197-213).
 
-    Weight layouts: wp1/wc1/wp2 [C, C]; wdw5 [25, C]; wdw7 [49, C]."""
+    Weight layouts: wp1/wc1/wp2 [C, C]; wdw5 [25, C]; wdw7 [49, C].
+    Serving int8 (RS_INT8=1): the three channel-mixing projections run
+    as s8xs8->s32 MXU ops; the depthwise convs stay in the input dtype.
+    """
+    from .quant import int8_channel_matmul, int8_enabled
+
     c = h.shape[-1]
     dt = h.dtype
-    g = exact_gelu(jnp.einsum("nhwc,cd->nhwd", h, wp1.astype(dt))
-                   + bp1.astype(dt))
+    if int8_enabled(train):
+        def mix(x, w, b):
+            return int8_channel_matmul(x, w, b)
+    else:
+        def mix(x, w, b):
+            return jnp.einsum("nhwc,cd->nhwd", x,
+                              w.astype(x.dtype)) + b.astype(x.dtype)
+    g = exact_gelu(mix(h, wp1, bp1))
     d5 = jax.lax.conv_general_dilated(
         g, wdw5.reshape(5, 5, 1, c).astype(dt), (1, 1),
         [(2, 2), (2, 2)], feature_group_count=c,
@@ -51,10 +63,8 @@ def _sa_core(h, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1, wp2, bp2):
         [(9, 9), (9, 9)], rhs_dilation=(3, 3), feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=dt) + bdw7.astype(dt)
-    c1 = jnp.einsum("nhwc,cd->nhwd", d7, wc1.astype(dt)) \
-        + bc1.astype(dt)
-    p2 = jnp.einsum("nhwc,cd->nhwd", g * c1, wp2.astype(dt)) \
-        + bp2.astype(dt)
+    c1 = mix(d7, wc1, bc1)
+    p2 = mix(g * c1, wp2, bp2)
     return p2 + h
 
 

@@ -43,6 +43,23 @@ def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
     return jnp.einsum("nhwd,dc->nhwc", h, w2) + b2
 
 
+def _int8_mlp(x, w1, b1, wdw, bdw, w2, b2):
+    """Serving-int8 XLA composition (RS_INT8=1): fc1/fc2 run as
+    s8xs8->s32 MXU ops with dynamic per-tensor activation scales; the
+    depthwise conv and gelu stay in the input dtype (ops/quant.py)."""
+    from .quant import int8_channel_matmul
+
+    h = int8_channel_matmul(x, w1, b1)
+    c = h.shape[-1]
+    h = jax.lax.conv_general_dilated(
+        h, wdw.reshape(3, 3, 1, c).astype(h.dtype), (1, 1),
+        [(1, 1), (1, 1)], feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=h.dtype) + bdw.astype(h.dtype)
+    h = exact_gelu(h)
+    return int8_channel_matmul(h, w2, b2)
+
+
 def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
                 b2_ref, out_ref, xbuf, sems, *, bh: int, h: int, w: int,
                 wp: int, c: int, ch: int, residual: bool = False,

@@ -24,6 +24,7 @@ class TestResNet:
         assert [o.shape for o in outs] == [
             (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]
 
+    @pytest.mark.slow
     def test_r50_shapes(self, x64):
         model = ResNet(depth=50)
         params = model.init(jax.random.PRNGKey(0), x64)
@@ -58,6 +59,7 @@ class TestVAN:
         assert _VAN_ARCH["van_b3"]["depths"] == (3, 5, 27, 3)
         assert _VAN_ARCH["van_b3"]["embed_dims"] == (64, 128, 320, 512)
 
+    @pytest.mark.slow
     def test_grads(self, x64):
         model = VAN(embed_dims=(8, 16, 32, 64), depths=(1, 1, 1, 1))
         params = model.init(jax.random.PRNGKey(0), x64)
@@ -103,6 +105,8 @@ class TestFPN:
 
 
 class TestSK2Res2Net:
+    pytestmark = pytest.mark.slow
+
     def test_shapes_and_sk_gate(self, x64):
         from rs_detection_tpu.models.backbones.sk2res2net import SK2Res2Net
 
@@ -119,6 +123,8 @@ class TestSK2Res2Net:
 
 
 class TestOtherBackbones:
+    pytestmark = pytest.mark.slow
+
     """Forward-shape coverage for every registered backbone family."""
 
     def test_swin_nondivisible_windows(self, x64):

@@ -161,6 +161,11 @@ def test_all_shipped_configs_build_models():
     assert len(cfgs) >= 10
     for path in cfgs:
         cfg = Config(path)
-        assert cfg.model is not None, path
+        if cfg.model is None or (isinstance(cfg.model, dict)
+                                 and "type" not in cfg.model):
+            # base fragments (yolo_*_base.py) carry no complete model
+            assert os.path.basename(path).endswith("_base.py"), \
+                f"{path}: no model section"
+            continue
         model = build_from_cfg(cfg.model, MODELS)
         assert model is not None, path

@@ -74,6 +74,8 @@ def setup():
 
 
 class TestOrientedRCNN:
+    pytestmark = pytest.mark.slow
+
     def test_train_loss(self, setup):
         model, variables, images, targets = setup
         losses = jax.jit(lambda v, i, t: model.apply(

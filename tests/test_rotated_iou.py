@@ -66,6 +66,7 @@ class TestBoxIouRotated:
         assert abs(np.asarray(box_iou_rotated(b1, b2))[0, 0] - expect) < 1e-3
 
     @pytest.mark.parametrize("mode", ["iou", "iof"])
+    @pytest.mark.slow
     def test_random_vs_cv2(self, mode):
         b1 = random_obbs(40)
         b2 = random_obbs(30)

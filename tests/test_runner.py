@@ -335,6 +335,7 @@ def test_runner_test_task_submission(tmp_path, monkeypatch):
                                        "runner_test_smoke.zip"))
 
 
+@pytest.mark.slow
 def test_runner_test_on_raw_scene(tmp_path, monkeypatch):
     """Runner.test over a SceneDataset: raw scene in, device tiling,
     merged DOTA submission out — no offline split pass."""

@@ -52,6 +52,8 @@ def setup():
 
 
 class TestS2ANet:
+    pytestmark = pytest.mark.slow
+
     def test_loss(self, setup):
         model, variables, images, targets = setup
         losses = jax.jit(lambda v, i, t: model.apply(

@@ -52,6 +52,9 @@ def run_model(model, loss_keys, out_extra=()):
     return losses, out
 
 
+pytestmark = pytest.mark.slow
+
+
 class TestRetina:
     def test_e2e(self):
         model = RetinaNet(

@@ -20,6 +20,9 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
 
+
+pytestmark = pytest.mark.slow
+
 class TNorm(tnn.Module):
     """BN wrapped one level deep to mirror flax's Norm/BatchNorm_0."""
 
