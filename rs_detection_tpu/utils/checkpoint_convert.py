@@ -36,15 +36,26 @@ def convert_tensor(name: str, value: np.ndarray) -> np.ndarray:
     return value
 
 
-def torch_state_to_flax(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:
+def torch_state_to_flax(state_dict: Dict[str, Any],
+                        fc_spatial: Dict[str, tuple] = None
+                        ) -> Tuple[Dict, Dict]:
     """Convert a flat torch-style state dict into nested
     (params, batch_stats) trees keyed by the dotted path segments.
 
     BN entries are recognized by their stat names and split into the
     flax BatchNorm layout.
+
+    ``fc_spatial`` maps weight names of fully-connected layers that
+    directly follow a spatial flatten to their (C, P, P) input shape:
+    torch flattens NCHW as (C, P, P) but the flax modules flatten
+    NHWC as (P, P, C), so such weights need an input-dim permute, not
+    just a transpose (e.g. the reference OrientedHead's first shared
+    fc over the 7x7 RoI features, ``oriented_head.py`` fc dims
+    256*7*7).
     """
     params: Dict = {}
     batch_stats: Dict = {}
+    fc_spatial = fc_spatial or {}
 
     def insert(tree, path, leaf):
         node = tree
@@ -66,8 +77,17 @@ def torch_state_to_flax(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:
             # BN scale
             insert(params, parts[:-1] + ["scale"], arr)
         elif leafname == "weight":
-            insert(params, parts[:-1] + ["kernel"],
-                   convert_tensor(name, arr))
+            key = name[:-len(".weight")]
+            if key in fc_spatial and arr.ndim == 2:
+                c, ph, pw = fc_spatial[key]
+                assert arr.shape[1] == c * ph * pw, (name, arr.shape)
+                # [out, C*P*P] -> [out, P*P*C] -> [in, out]
+                arr = arr.reshape(arr.shape[0], c, ph, pw) \
+                    .transpose(0, 2, 3, 1).reshape(arr.shape[0], -1)
+                insert(params, parts[:-1] + ["kernel"], arr.T)
+            else:
+                insert(params, parts[:-1] + ["kernel"],
+                       convert_tensor(name, arr))
         elif leafname == "bias":
             insert(params, parts[:-1] + ["bias"], arr)
         else:
