@@ -6,15 +6,21 @@ import os
 import subprocess
 import sys
 
-root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-failures = []
-for test in sorted(glob.glob(os.path.join(root, "projects", "*",
-                                          "regress_*.py"))):
-    print("==>", test)
-    rc = subprocess.call([sys.executable, test])
-    if rc != 0:
-        failures.append(test)
-if failures:
-    print("FAILED:", failures)
-    sys.exit(1)
-print("all project regressions passed")
+
+def main():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = []
+    for test in sorted(glob.glob(os.path.join(root, "projects", "*",
+                                              "regress_*.py"))):
+        print("==>", test)
+        rc = subprocess.call([sys.executable, test])
+        if rc != 0:
+            failures.append(test)
+    if failures:
+        print("FAILED:", failures)
+        sys.exit(1)
+    print("all project regressions passed")
+
+
+if __name__ == "__main__":
+    main()
