@@ -61,9 +61,10 @@ def _int8_mlp(x, w1, b1, wdw, bdw, w2, b2):
 
 
 def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
-                b2_ref, out_ref, xbuf, sems, *, bh: int, h: int, w: int,
-                wp: int, c: int, ch: int, residual: bool = False,
-                split: int = 1):
+                b2_ref, sw1_ref, sw2_ref, out_ref, xbuf, sems, *,
+                bh: int, h: int, w: int, wp: int, c: int, ch: int,
+                residual: bool = False, split: int = 1,
+                quant: bool = False):
     n_i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -92,12 +93,26 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
     f32 = jnp.float32
     xv = xbuf[slot]                                     # [rows, wp, Cin]
 
+    def _qdot(xs2, w_ref, s_ref):
+        """Per-block dynamic int8 quantization + s8xs8->s32 MXU dot
+        (serving int8 mode): xs2 f32 [M, K], w_ref int8 [K, N],
+        s_ref [1, N] per-out-channel weight scales. Returns f32."""
+        ax = jnp.max(jnp.abs(xs2))
+        sx = jnp.where(ax > 0, ax / 127.0, 1.0)
+        xq = jnp.clip(jnp.round(xs2 * (1.0 / sx)),
+                      -127.0, 127.0).astype(jnp.int8)
+        acc = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.int32)
+        return acc.astype(f32) * (sx * s_ref[0])
+
     def fc1(r0, nr):
         """fc1 + bias + SAME-pad zeroing for hidden rows [r0, r0+nr)
         of this block's (bh + 2)-row haloed window."""
         xs = xv[r0:r0 + nr]
-        h1 = jnp.dot(xs.reshape(nr * wp, xs.shape[-1]), w1_ref[:],
-                     preferred_element_type=f32)
+        xs2 = xs.reshape(nr * wp, xs.shape[-1])
+        if quant:
+            h1 = _qdot(xs2.astype(f32), w1_ref, sw1_ref)
+        else:
+            h1 = jnp.dot(xs2, w1_ref[:], preferred_element_type=f32)
         h1 = (h1 + b1_ref[0].astype(f32)).astype(xv.dtype) \
             .reshape(nr, wp, ch)
         # zero the dw conv's SAME padding on the HIDDEN tensor: fc1 of
@@ -129,9 +144,13 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
         # after cast) and is pure jnp, so it inlines into the kernel
         hpre = acc + bdw_ref[0].astype(f32)
         erf = _erf_as(hpre * np.float32(0.7071067811865476))
-        h2 = (hpre * 0.5 * (1.0 + erf)).astype(xv.dtype)
-        out = jnp.dot(h2.reshape(nr * w, ch), w2_ref[:],
-                      preferred_element_type=f32)
+        if quant:
+            h2 = (hpre * 0.5 * (1.0 + erf)).reshape(nr * w, ch)
+            out = _qdot(h2, w2_ref, sw2_ref)
+        else:
+            h2 = (hpre * 0.5 * (1.0 + erf)).astype(xv.dtype)
+            out = jnp.dot(h2.reshape(nr * w, ch), w2_ref[:],
+                          preferred_element_type=f32)
         return out + b2_ref[0].astype(f32)
 
     if split <= 1:
@@ -176,9 +195,27 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
     grid = (n, (h + hpad) // bh)
 
     split = int(os.environ.get("RS_VAN_MLP_SPLIT", "1"))
+    quant = os.environ.get("RS_INT8", "0") == "1"
+    if quant:
+        # per-out-channel symmetric int8 weights; activation scales
+        # are computed per row block inside the kernel (finer than the
+        # XLA path's per-tensor scale)
+        def qw(wm):
+            wf = wm.astype(jnp.float32)
+            am = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+            s = jnp.where(am > 0, am / 127.0, 1.0)
+            q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+            return q, s
+
+        w1c, sw1 = qw(w1)
+        w2c, sw2 = qw(w2)
+    else:
+        w1c, sw1 = w1.astype(x.dtype), jnp.ones((1, ch), jnp.float32)
+        w2c, sw2 = w2.astype(x.dtype), jnp.ones((1, c), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, bh=bh, h=h, w=w, wp=wp, c=c,
-                          ch=ch, residual=residual, split=split),
+                          ch=ch, residual=residual, split=split,
+                          quant=quant),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -191,6 +228,10 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
             pl.BlockSpec((1, ch), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ch, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -209,9 +250,9 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
             # default 16M scoped-vmem guard
             vmem_limit_bytes=48 * 1024 * 1024 if split > 1 else None),
         interpret=jax.default_backend() == "cpu",
-    )(xp, w1.astype(x.dtype), b1.astype(jnp.float32)[None],
+    )(xp, w1c, b1.astype(jnp.float32)[None],
       wdw.astype(x.dtype), bdw.astype(jnp.float32)[None],
-      w2.astype(x.dtype), b2.astype(jnp.float32)[None])
+      w2c, b2.astype(jnp.float32)[None], sw1, sw2)
     return out[:, :h]
 
 

@@ -67,3 +67,32 @@ def test_bf16():
     got = np.asarray(van_mlp(x, *p), np.float32)
     ref = np.asarray(_ref_mlp(x, *p), np.float32)
     np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+
+def test_kernel_int8_serving_mode(monkeypatch):
+    """RS_INT8=1 runs fc1/fc2 as in-kernel s8xs8->s32 MXU dots with
+    per-row-block activation scales; output must track the f32
+    reference within int8 error bounds."""
+    import jax.numpy as jnp
+
+    from rs_detection_tpu.ops.pallas_van_mlp import _ref_mlp, van_mlp
+
+    rng = np.random.RandomState(21)
+    n, h, w, c, ch = 1, 24, 40, 32, 128
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    w1 = jnp.asarray((rng.randn(c, ch) * 0.08).astype(np.float32))
+    b1 = jnp.asarray(rng.randn(ch).astype(np.float32) * 0.05)
+    wdw = jnp.asarray((rng.randn(9, ch) * 0.2).astype(np.float32))
+    bdw = jnp.asarray(rng.randn(ch).astype(np.float32) * 0.05)
+    w2 = jnp.asarray((rng.randn(ch, c) * 0.08).astype(np.float32))
+    b2 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.05)
+
+    ref = np.asarray(_ref_mlp(x, w1, b1, wdw, bdw, w2, b2))
+    monkeypatch.setenv("RS_INT8", "1")
+    got = np.asarray(van_mlp(x, w1, b1, wdw, bdw, w2, b2))
+    monkeypatch.delenv("RS_INT8")
+
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.998, corr
