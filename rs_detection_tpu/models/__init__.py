@@ -1,5 +1,6 @@
 """Import all model modules so registry entries are populated."""
 from . import losses  # noqa: F401
+from . import param_generators  # noqa: F401
 from .backbones import (convnext, jimm_scope, lsknet,  # noqa: F401
                         res2net, resnet, sk2res2net, ssd_vgg, swin,
                         van)

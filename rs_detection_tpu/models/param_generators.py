@@ -63,3 +63,83 @@ def make_decayed_tx(base_tx_fn, params, weight_decay: float):
     return optax.chain(
         optax.masked(optax.add_decayed_weights(weight_decay), mask),
         base_tx_fn())
+
+
+def _conv_bias_mask(params):
+    """True on biases that sit next to a 4-D conv kernel (the
+    reference's conv-bias group, projects/retinanet/models.py:14-65)."""
+
+    def walk(tree):
+        out = {}
+        kernel = tree.get("kernel") if isinstance(tree, dict) else None
+        is_conv = getattr(kernel, "ndim", 0) == 4
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = bool(is_conv and k == "bias")
+        return out
+
+    return walk(params)
+
+
+def _prefix_mask(params, prefixes):
+    """True on every leaf whose dotted path starts with a prefix."""
+    import jax
+
+    prefixes = tuple(str(p).replace("/", ".") for p in prefixes)
+
+    def decide(path, leaf):
+        name = ".".join(str(p.key if hasattr(p, "key") else p)
+                        for p in path)
+        return any(name.startswith(pref) or name == pref
+                   for pref in prefixes)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+@MODELS.register_module()
+def NormalPrameterGroupsGenerator(**kw):
+    """Identity grouping (reference projects/retinanet/models.py:6-11;
+    name spelling preserved for config parity)."""
+
+    def wrap(tx, base_weight_decay=0.0):
+        return tx
+
+    return wrap
+
+
+@MODELS.register_module()
+def YangXuePrameterGroupsGenerator(conv_bias_grad_muyilpy: float = 1.0,
+                                   conv_bias_weight_decay: float = -1,
+                                   freeze_prefix=(), **kw):
+    """The reference retinanet recipe's parameter grouping
+    (projects/retinanet/models.py:14-65; name spelling preserved):
+    conv biases get a gradient multiplier and optionally their own
+    weight decay; ``freeze_prefix`` parameters receive no updates.
+
+    optax formulation: a masked ``scale`` before the base transform
+    (grad multiplier), a masked ``add_decayed_weights`` delta
+    correcting the base decay on conv biases, and a masked
+    ``set_to_zero`` after it (freeze).
+    """
+    import optax
+
+    def wrap(tx, base_weight_decay: float = 0.0):
+        links = []
+        if conv_bias_grad_muyilpy != 1.0:
+            links.append(optax.masked(
+                optax.scale(conv_bias_grad_muyilpy), _conv_bias_mask))
+        if conv_bias_weight_decay >= 0 and base_weight_decay:
+            links.append(optax.masked(
+                optax.add_decayed_weights(
+                    conv_bias_weight_decay - base_weight_decay),
+                _conv_bias_mask))
+        links.append(tx)
+        if freeze_prefix:
+            links.append(optax.masked(
+                optax.set_to_zero(),
+                lambda p: _prefix_mask(p, freeze_prefix)))
+        return optax.chain(*links)
+
+    return wrap

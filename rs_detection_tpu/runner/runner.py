@@ -164,6 +164,20 @@ class Runner:
         opt_cfg["lr"] = lambda step: base_lr * schedule(step)
         self.tx = build_from_cfg(opt_cfg, OPTIMS)
 
+        # parameter grouping (reference runner builds optimizer params
+        # through cfg.parameter_groups_generator): generators return a
+        # wrap(tx, base_weight_decay) -> tx' closure (optax masks)
+        pg = cfg.parameter_groups_generator
+        if isinstance(pg, dict) and pg.get("type"):
+            gen = build_from_cfg(dict(pg), MODELS)
+            if callable(gen) and not hasattr(gen, "decay_mask"):
+                wd = float(opt_cfg.get("weight_decay", 0.0) or 0.0)
+                try:
+                    self.tx = gen(self.tx, base_weight_decay=wd)
+                except TypeError:
+                    # YoloParameterGroupsGenerator-style mask providers
+                    pass
+
         self.tx_swa = None
         if cfg.optimizer_swa is not None:
             swa_cfg = dict(cfg.optimizer_swa)

@@ -172,6 +172,44 @@ class TestOptims:
         assert np.allclose(np.asarray(updates["head"]["w"]), -1.0)
 
 
+    def test_yangxue_parameter_groups(self):
+        """Reference retinanet recipe grouping
+        (projects/retinanet/models.py): conv-bias grad multiplier,
+        conv-bias weight-decay override, freeze_prefix."""
+        import optax
+
+        from rs_detection_tpu.models.param_generators import \
+            YangXuePrameterGroupsGenerator
+
+        wrap = YangXuePrameterGroupsGenerator(
+            conv_bias_grad_muyilpy=2.0, conv_bias_weight_decay=0.0,
+            freeze_prefix=["backbone.stem"])
+        tx = wrap(optax.sgd(1.0), base_weight_decay=0.0)
+        params = {
+            "backbone": {"stem": {"kernel": jnp.ones((3, 3, 4, 8)),
+                                  "bias": jnp.ones(8)},
+                         "c2": {"kernel": jnp.ones((3, 3, 8, 8)),
+                                "bias": jnp.ones(8)}},
+            "head": {"fc": {"kernel": jnp.ones((8, 4)),
+                            "bias": jnp.ones(4)}}}
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        # frozen subtree: zero updates
+        assert float(jnp.abs(
+            updates["backbone"]["stem"]["kernel"]).sum()) == 0.0
+        assert float(jnp.abs(
+            updates["backbone"]["stem"]["bias"]).sum()) == 0.0
+        # conv bias outside the freeze: 2x gradient
+        np.testing.assert_allclose(
+            np.asarray(updates["backbone"]["c2"]["bias"]), -2.0)
+        # conv kernel and fc bias: plain 1x
+        np.testing.assert_allclose(
+            np.asarray(updates["backbone"]["c2"]["kernel"]), -1.0)
+        np.testing.assert_allclose(
+            np.asarray(updates["head"]["fc"]["bias"]), -1.0)
+
+
 class TestSWA:
     def test_average_checkpoints(self, tmp_path):
         import pickle
