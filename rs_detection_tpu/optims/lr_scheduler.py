@@ -83,6 +83,29 @@ class CosineAnnealingLR:
 
 
 @SCHEDULERS.register_module()
+class CosineAnnealingLRGroup(CosineAnnealingLR):
+    """YOLO cosine schedule with warmup (reference ``lr_scheduler.py``
+    ``CosineAnnealingLRGroup`` — cos_out form
+    ``target + 0.5*(base-target)*(cos(pi*t)+1)``, equal to the
+    parent's factor form).
+
+    The reference variant additionally warms each optimizer param
+    group from its own initial lr (``warmup_init_lr_pg``) and warms
+    momentum (``warmup_initial_momentum``); this single-lr runner
+    applies the primary group's schedule — the per-group offsets only
+    shape the first ``warmup_iters`` (~3 epochs in the yolo recipe).
+    Accepted and recorded for config parity.
+    """
+
+    def __init__(self, warmup_init_lr_pg=None,
+                 warmup_initial_momentum=None, min_lr_ratio=0.2, **kw):
+        kw.setdefault("max_steps", kw.pop("max_epoch", 1) or 1)
+        super().__init__(min_lr_ratio=min_lr_ratio, **kw)
+        self.warmup_init_lr_pg = warmup_init_lr_pg
+        self.warmup_initial_momentum = warmup_initial_momentum
+
+
+@SCHEDULERS.register_module()
 class ExpLR:
     def __init__(self, gamma: float = 0.9, warmup=None, warmup_iters=0,
                  warmup_ratio=1.0 / 3, **kw):

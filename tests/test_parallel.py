@@ -210,6 +210,23 @@ class TestOptims:
             np.asarray(updates["head"]["fc"]["bias"]), -1.0)
 
 
+    def test_cosine_group_scheduler(self):
+        """yolo recipe scheduler (CosineAnnealingLRGroup): cosine from
+        base to min_lr_ratio over max_steps epochs, group kwargs
+        accepted (reference lr_scheduler.py cos_out form)."""
+        from rs_detection_tpu.utils.registry import (SCHEDULERS,
+                                                     build_from_cfg)
+
+        sch = build_from_cfg(dict(
+            type="CosineAnnealingLRGroup", min_lr_ratio=0.2,
+            warmup_init_lr_pg=[0.0, 0.0, 0.1], warmup_ratio=0.0,
+            warmup_initial_momentum=0.8, warmup="linear",
+            warmup_iters=10, max_steps=12), SCHEDULERS)
+        assert abs(float(sch(1.0, 100, 0.0)) - 1.0) < 1e-6
+        assert abs(float(sch(1.0, 100, 6.0)) - 0.6) < 1e-5
+        assert abs(float(sch(1.0, 100, 12.0)) - 0.2) < 1e-5
+
+
 class TestSWA:
     def test_average_checkpoints(self, tmp_path):
         import pickle
