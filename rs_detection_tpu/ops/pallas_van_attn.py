@@ -53,16 +53,24 @@ def _sa_core(h, wp1, bp1, wdw5, bdw5, wdw7, bdw7, wc1, bc1, wp2, bp2,
             return jnp.einsum("nhwc,cd->nhwd", x,
                               w.astype(x.dtype)) + b.astype(x.dtype)
     g = exact_gelu(mix(h, wp1, bp1))
-    d5 = jax.lax.conv_general_dilated(
-        g, wdw5.reshape(5, 5, 1, c).astype(dt), (1, 1),
-        [(2, 2), (2, 2)], feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dt) + bdw5.astype(dt)
-    d7 = jax.lax.conv_general_dilated(
-        d5, wdw7.reshape(7, 7, 1, c).astype(dt), (1, 1),
-        [(9, 9), (9, 9)], rhs_dilation=(3, 3), feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dt) + bdw7.astype(dt)
+    from .dw_conv import dw_conv, tap_bwd_enabled
+
+    if tap_bwd_enabled():
+        d5 = dw_conv(g, wdw5.reshape(5, 5, 1, c).astype(dt), 1) \
+            + bdw5.astype(dt)
+        d7 = dw_conv(d5, wdw7.reshape(7, 7, 1, c).astype(dt), 3) \
+            + bdw7.astype(dt)
+    else:
+        d5 = jax.lax.conv_general_dilated(
+            g, wdw5.reshape(5, 5, 1, c).astype(dt), (1, 1),
+            [(2, 2), (2, 2)], feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt) + bdw5.astype(dt)
+        d7 = jax.lax.conv_general_dilated(
+            d5, wdw7.reshape(7, 7, 1, c).astype(dt), (1, 1),
+            [(9, 9), (9, 9)], rhs_dilation=(3, 3), feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt) + bdw7.astype(dt)
     c1 = mix(d7, wc1, bc1)
     p2 = mix(g * c1, wp2, bp2)
     return p2 + h

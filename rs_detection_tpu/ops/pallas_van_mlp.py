@@ -32,13 +32,18 @@ from .activations import _erf_as, exact_gelu
 
 def _ref_mlp(x, w1, b1, wdw, bdw, w2, b2):
     """Pure-XLA reference composition (also the custom_vjp bwd)."""
+    from .dw_conv import dw_conv, tap_bwd_enabled
+
     h = jnp.einsum("nhwc,cd->nhwd", x, w1) + b1
     c = h.shape[-1]
-    h = jax.lax.conv_general_dilated(
-        h, wdw.reshape(3, 3, 1, c), (1, 1), [(1, 1), (1, 1)],
-        feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=h.dtype) + bdw
+    if tap_bwd_enabled():
+        h = dw_conv(h, wdw.reshape(3, 3, 1, c), 1) + bdw
+    else:
+        h = jax.lax.conv_general_dilated(
+            h, wdw.reshape(3, 3, 1, c), (1, 1), [(1, 1), (1, 1)],
+            feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=h.dtype) + bdw
     h = exact_gelu(h)  # erf gelu (torch/jittor semantics, fast form)
     return jnp.einsum("nhwd,dc->nhwc", h, w2) + b2
 
