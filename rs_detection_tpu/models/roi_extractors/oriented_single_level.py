@@ -83,15 +83,15 @@ class OrientedSingleRoIExtractor:
         h = rois[:, 4] * ef_h
         rois = jnp.concatenate(
             [rois[:, :3], w[:, None], h[:, None], rois[:, 5:6]], axis=1)
-        # training: the kernel now has a real Pallas backward (A^T
-        # window scatter, ops/pallas_roi_align.py:_pallas_bwd), so the
-        # fwd+bwd pair can ride the window path end-to-end. Opt-in via
-        # RS_ROI_TRAIN_PALLAS=1 until measured on real TPU hardware
-        # (the XLA fwd+bwd costs ~40 ms of the 584 ms batch-8 step,
-        # docs/perf_notes.md).
+        # training: the kernel has a real Pallas backward (A^T window
+        # scatter, ops/pallas_roi_align.py:_pallas_bwd). Measured on
+        # v5e (2026-08-18): batch-8 train step 586.1 -> 531.2 ms/iter
+        # (1.10x) with in-graph forward parity rel_err 4.4e-5 vs the
+        # XLA path (docs/perf_notes.md round-3 log) — default ON;
+        # RS_ROI_TRAIN_PALLAS=0 restores the XLA fwd+bwd pair.
         train_pallas = (training
                         and os.environ.get("RS_ROI_TRAIN_PALLAS",
-                                           "0") == "1")
+                                           "1") == "1")
         use_pallas = (self.impl == "pallas"
                       or (self.impl == "auto"
                           and (not training or train_pallas)
