@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--img", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-block backbone remat (A/B: is "
+                         "the recompute still needed at this batch?)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of 3 steps into "
                          "DIR (summarize with xplane_summary.py)")
@@ -38,6 +41,10 @@ def main():
     model = _flagship(tiny=False)
     if not args.fp32:
         model = dataclasses.replace(model, compute_dtype=jnp.bfloat16)
+    if args.no_remat:
+        model = dataclasses.replace(
+            model, backbone=dataclasses.replace(model.backbone,
+                                                remat=False))
     b, img = args.batch, args.img
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(b, img, img, 3).astype(np.float32))
