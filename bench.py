@@ -146,10 +146,12 @@ def _make_tiles(tile_dir: str, n: int, img: int, seed: int = 0):
 
 
 def _decode_tile(path):
-    import numpy as np
-    from PIL import Image
+    """Native (GIL-releasing, libpng/libjpeg) decode with PIL
+    fallback — the production loader path (data/io.py)."""
+    sys.path.insert(0, _REPO)
+    from rs_detection_tpu.data.io import load_rgb_array
 
-    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return load_rgb_array(path)
 
 
 def _host_batches(paths, batch, n_batches, pool):

@@ -22,6 +22,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 from PIL import Image
+from .io import load_rgb
 
 from ..ops.box_ops import rotated_box_to_bbox_np
 from ..utils.registry import DATASETS
@@ -72,7 +73,7 @@ class CustomDataset:
             idx = int(np.random.randint(self.total_len))
         ann = info["ann"]
         img_path = os.path.join(self.images_dir, info["filename"])
-        image = Image.open(img_path).convert("RGB")
+        image = load_rgb(img_path)
         width, height = image.size
 
         hboxes, polys = rotated_box_to_bbox_np(ann["bboxes"])

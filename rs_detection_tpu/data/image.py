@@ -16,6 +16,7 @@ from PIL import Image
 
 from ..utils.registry import DATASETS
 from .collate import collate_batch
+from .io import load_rgb
 from .transforms import Compose
 
 IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
@@ -49,7 +50,7 @@ class ImageDataset:
         if "BATCH_IDX" in os.environ:
             idx = int(os.environ["BATCH_IDX"])
         path = self.images[idx]
-        image = Image.open(path).convert("RGB")
+        image = load_rgb(path)
         target = dict(
             ori_img_size=image.size,
             img_size=image.size,

@@ -23,6 +23,7 @@ import numpy as np
 from ..utils.registry import DATASETS
 from .device_tiler import tile_scene
 from .image import list_images
+from .io import load_rgb
 
 
 @functools.lru_cache(maxsize=1)
@@ -83,7 +84,7 @@ class SceneDataset:
         from PIL import Image
 
         Image.MAX_IMAGE_PIXELS = None  # DOTA scenes exceed PIL default
-        img = Image.open(path).convert("RGB")
+        img = load_rgb(path)
         if self.rate != 1.0:
             img = img.resize((int(round(img.width * self.rate)),
                               int(round(img.height * self.rate))),
