@@ -94,13 +94,32 @@ class SceneDataset:
     def batches(self, flip_mode: Optional[str] = None) -> Iterator:
         """Yield (images [B, S, S, 3] f32 on device, targets, metas) —
         device-tiled + device-normalized; tile metas carry the
-        ImgSplit naming for the merge step."""
+        ImgSplit naming for the merge step.
+
+        Tiles STREAM ACROSS SCENE BOUNDARIES: a batch may mix the tail
+        of one scene with the head of the next, so only the dataset's
+        very last batch carries padding. (Per-scene padding measured a
+        44% throughput loss on 3x3-grid scenes whose 9 tiles fill 9/16
+        of two batch-8 slots — docs/perf_notes.md scene bullet.)"""
         import jax.numpy as jnp
 
         mean = jnp.asarray(self.mean)
         std = jnp.asarray(self.std)
         s = self.subsize
+        bs = self.batch_size
         rate_tag = str(float(self.rate))     # ImgSplit names use "1.0"
+        # full collate_batch target schema (empty GT), shared
+        targets = dict(
+            rboxes=jnp.zeros((bs, 1, 5), jnp.float32),
+            hboxes=jnp.zeros((bs, 1, 4), jnp.float32),
+            polys=jnp.zeros((bs, 1, 8), jnp.float32),
+            labels=jnp.zeros((bs, 1), jnp.int32),
+            gt_mask=jnp.zeros((bs, 1), bool),
+            img_hw=jnp.full((bs, 2), float(s), jnp.float32),
+            scale_factor=jnp.ones((bs,), jnp.float32))
+
+        pend_tiles = None                    # device [n, S, S, 3] f32
+        pend_metas: list = []
         for path in self.images:
             scene = self._load_scene(path)
             tiles_u8, offsets = tile_scene(jnp.asarray(scene), s,
@@ -108,10 +127,9 @@ class SceneDataset:
             tiles = _normalize_tiles(tiles_u8, mean, std,
                                      self.to_bgr, flip_mode)
             stem = os.path.splitext(os.path.basename(path))[0]
-            metas = []
             for lf, up in offsets:
                 tile_name = f"{stem}__{rate_tag}__{lf}___{up}.png"
-                metas.append(dict(
+                pend_metas.append(dict(
                     filename=tile_name,
                     # the merge step parses tile offsets from the
                     # img_file BASENAME (data_merge.py prepare_data)
@@ -119,25 +137,16 @@ class SceneDataset:
                     scene_file=path,
                     img_size=(s, s), ori_img_size=(s, s),
                     scale_factor=1.0,
-                    **(dict(flip_mode=flip_mode) if flip_mode else {})))
-            n = tiles.shape[0]
-            bs = self.batch_size
-            for b in range(-(-n // bs)):
-                lo, hi = b * bs, min((b + 1) * bs, n)
-                batch = tiles[lo:hi]
-                ms = metas[lo:hi]
-                if hi - lo < bs:                # static batch shape
-                    batch = jnp.pad(
-                        batch, ((0, bs - (hi - lo)), (0, 0), (0, 0),
-                                (0, 0)))
-                    ms = ms + [None] * (bs - (hi - lo))
-                # full collate_batch target schema (empty GT)
-                targets = dict(
-                    rboxes=jnp.zeros((bs, 1, 5), jnp.float32),
-                    hboxes=jnp.zeros((bs, 1, 4), jnp.float32),
-                    polys=jnp.zeros((bs, 1, 8), jnp.float32),
-                    labels=jnp.zeros((bs, 1), jnp.int32),
-                    gt_mask=jnp.zeros((bs, 1), bool),
-                    img_hw=jnp.full((bs, 2), float(s), jnp.float32),
-                    scale_factor=jnp.ones((bs,), jnp.float32))
-                yield batch, targets, ms
+                    **(dict(flip_mode=flip_mode)
+                       if flip_mode else {})))
+            pend_tiles = (tiles if pend_tiles is None
+                          else jnp.concatenate([pend_tiles, tiles]))
+            while pend_tiles.shape[0] >= bs:
+                yield pend_tiles[:bs], targets, pend_metas[:bs]
+                pend_tiles = pend_tiles[bs:]
+                pend_metas = pend_metas[bs:]
+        n_left = 0 if pend_tiles is None else pend_tiles.shape[0]
+        if n_left:
+            batch = jnp.pad(pend_tiles, ((0, bs - n_left), (0, 0),
+                                         (0, 0), (0, 0)))
+            yield batch, targets, pend_metas + [None] * (bs - n_left)

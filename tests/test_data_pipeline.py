@@ -362,6 +362,52 @@ class TestSceneDataset:
             name = metas[0]["filename"]
             np.testing.assert_allclose(got[name], ref, atol=1e-4)
 
+    def test_streams_across_scene_boundaries(self, tmp_path):
+        """Batches mix the tail of one scene with the head of the next
+        so only the dataset's LAST batch is padded (per-scene padding
+        cost 44% on 3x3-grid scenes — docs/perf_notes.md)."""
+        from PIL import Image
+
+        from rs_detection_tpu.data.scene import SceneDataset
+
+        rng = np.random.RandomState(2)
+        d = tmp_path / "s"
+        d.mkdir()
+        # two scenes x 4 tiles (2x2 grid at subsize 64, gap 16) = 8
+        # tiles; batch 3 -> batches of 3/3/2+pad
+        scenes = {}
+        for name in ["A", "B"]:
+            sc = (rng.rand(112, 112, 3) * 255).astype(np.uint8)
+            Image.fromarray(sc).save(d / f"{name}.png")
+            scenes[name] = sc
+        sds = SceneDataset(images_dir=str(d), subsize=64, gap=16,
+                           batch_size=3)
+        out = list(sds.batches())
+        assert len(out) == 3
+        # batch 1 must span both scenes: tile 3 of A + first of B
+        names1 = [m["filename"] for m in out[1][2]]
+        assert any(n.startswith("A__") for n in names1)
+        assert any(n.startswith("B__") for n in names1)
+        # only the final batch carries padding
+        assert all(m is not None for _, _, ms in out[:2] for m in ms)
+        assert [m is None for m in out[2][2]] == [False, False, True]
+        # every tile's pixels must match its own scene's window
+        for images, _, metas in out:
+            arr = np.asarray(images)
+            for k, m in enumerate(metas):
+                if m is None:
+                    continue
+                stem = m["filename"].split("__")[0]
+                head, up = m["filename"][:-4].split("___")
+                lf = int(head.split("__")[-1])
+                up = int(up)
+                sc = scenes[stem]
+                ref = np.zeros((64, 64, 3), np.float64)
+                src = sc[up:up + 64, lf:lf + 64].astype(np.float64)
+                ref[:src.shape[0], :src.shape[1]] = src
+                ref = (ref - sds.mean) / sds.std
+                np.testing.assert_allclose(arr[k], ref, atol=1e-4)
+
     def test_flip_mode_tags_and_flips(self, tmp_path):
         from PIL import Image
 
