@@ -191,6 +191,12 @@ def main():
                          "tiled ON DEVICE (device_tiler, 1024/200 "
                          "windows) and normalized+inferred per tile — "
                          "the no-offline-split serving path")
+    ap.add_argument("--scene-stream", type=int, default=0, metavar="N",
+                    help="with --scene: stream N 2048x2048 scenes "
+                         "(3x3 grids, 9 tiles each) with CROSS-SCENE "
+                         "batching (SceneDataset semantics) — only "
+                         "the final batch pads. N=8 -> 72 tiles = 9 "
+                         "full batches, zero padding")
     ap.add_argument("--with-decode", action="store_true",
                     help="also put PNG decode on the clock (needs a "
                          "multi-core host; this bench host has 1 vCPU "
@@ -277,6 +283,65 @@ def main():
 
     runs = 3 if not tiny else 1
     best_dt = None
+    if args.scene and args.scene_stream:
+        from rs_detection_tpu.data.device_tiler import tile_scene
+
+        # N 2048^2 scenes (3x3 grid = 9 tiles each), batched ACROSS
+        # scene boundaries like SceneDataset.batches: per-scene
+        # padding cost a 3x3-grid scene 44%; streaming pads only the
+        # final batch (zero pad when 9N % batch == 0)
+        n_sc = args.scene_stream
+        sc = 2048 if not tiny else 2 * img
+        scenes_u8 = jax.device_put(
+            (rng.rand(n_sc, sc, sc, 3) * 255).astype(np.uint8))
+        jax.block_until_ready(scenes_u8)
+        sub, gap = img, img // 5 if tiny else 200
+        per = tile_scene(scenes_u8[0], sub, gap)[0].shape[0]
+        n_tiles = per * n_sc
+        nb = -(-n_tiles // batch)
+
+        import jax.lax as lax
+
+        @jax.jit
+        def stream_step(v, scs, t, d):
+            tiles = jnp.concatenate(
+                [tile_scene(scs[i], sub, gap)[0]
+                 for i in range(n_sc)])
+            pad = nb * batch - tiles.shape[0]
+            if pad:
+                tiles = jnp.pad(tiles,
+                                ((0, pad), (0, 0), (0, 0), (0, 0)))
+            blocks = tiles.reshape(nb, batch, *tiles.shape[1:])
+
+            def body(acc, blk):
+                x = (blk.astype(jnp.float32) - mean) / std + acc * 0.0
+                return acc + jnp.sum(model.apply(
+                    v, x, t, method=model.predict)["scores"]), None
+
+            acc, _ = lax.scan(body, d, blocks)
+            return acc
+
+        dep = stream_step(variables, scenes_u8, targets,
+                          jnp.float32(0.0))
+        float(dep)
+        reps = max(1, args.iters // nb)
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            dep = jnp.float32(0.0)
+            for _ in range(reps):
+                dep = stream_step(variables, scenes_u8, targets, dep)
+            float(dep)
+            dt = (time.perf_counter() - t0) / reps / n_tiles
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        print(json.dumps({
+            "metric": f"orcnn_vanb3_scenestream{n_sc}x{sc}"
+                      "_devtile_norm_infer_e2e"
+                      if not tiny else "orcnn_tiny_scenestream_smoke",
+            "value": round(1.0 / best_dt, 2),
+            "unit": "tiles/sec/chip",
+            "vs_baseline": round(1.0 / best_dt / 400.0, 4),
+        }))
+        return
     if args.scene:
         from rs_detection_tpu.data.device_tiler import tile_scene
 
