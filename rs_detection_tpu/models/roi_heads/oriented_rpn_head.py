@@ -152,19 +152,28 @@ class OrientedRPNHead(nn.Module):
         num_total = (jnp.maximum(res.num_pos, 1)
                      + jnp.maximum(res.num_neg, 1)).sum()
 
-        # per-level loss
+        # per-level loss. The regression loss runs in the conv's
+        # NATIVE NHWC [B, H, W, A*6] layout: reshaping predictions to
+        # [B, H*W*A, 6] materializes a lane-dim-6 tensor (padded 128/6
+        # on TPU tiles) plus relayout copies on both the forward and
+        # the cotangent — ~8 ms/iter at P2 in the batch-8 train trace.
+        # The (non-differentiable) targets get reshaped instead; the
+        # anchor flat order (h, w, a) matches NHWC A-minor exactly
+        # (grid_anchors row-major, A fastest — see get_proposals'
+        # reg2 indexing).
         losses_cls, losses_bbox = [], []
         start = 0
         for lvl, n in enumerate(num_lvl):
             sl = slice(start, start + n)
             start += n
+            h_l, w_l = featmap_sizes[lvl]
             cls = cls_scores[lvl].reshape(b, -1).astype(jnp.float32)
-            reg = bbox_preds[lvl].reshape(
-                b, -1, self.reg_dim).astype(jnp.float32)
+            reg = bbox_preds[lvl].astype(jnp.float32)  # [B,H,W,A*6]
             labels = res.labels[:, sl].astype(jnp.float32)
             lw = res.label_weights[:, sl]
-            bt = res.bbox_targets[:, sl]
-            bw = res.bbox_weights[:, sl]
+            nhwc = (b, h_l, w_l, self.num_anchors * self.reg_dim)
+            bt = res.bbox_targets[:, sl].reshape(nhwc)
+            bw = res.bbox_weights[:, sl].reshape(nhwc)
             losses_cls.append(self.loss_cls_weight * binary_cross_entropy(
                 cls, labels, lw, avg_factor=num_total))
             losses_bbox.append(self.loss_bbox_weight * smooth_l1_loss(

@@ -126,18 +126,33 @@ class RetinaHead(nn.Module):
         cls = jnp.concatenate(
             [c.reshape(b, -1, self.cls_out_channels) for c in cls_scores],
             1)
-        reg = jnp.concatenate(
-            [r.reshape(b, -1, 5) for r in bbox_preds], 1)
         onehot = jax.nn.one_hot(res.labels - 1, self.cls_out_channels)
         loss_cls = sigmoid_focal_loss(
             cls.reshape(-1, self.cls_out_channels),
             onehot.reshape(-1, self.cls_out_channels),
             res.label_weights.reshape(-1), gamma=self.focal_gamma,
             alpha=self.focal_alpha, avg_factor=num_total)
-        loss_bbox = smooth_l1_loss(
-            reg.reshape(-1, 5), res.bbox_targets.reshape(-1, 5),
-            res.bbox_weights.reshape(-1, 5), beta=self.smooth_l1_beta,
-            avg_factor=num_total)
+        # regression loss in the conv's native NHWC [B, H, W, A*5]
+        # layout: a [*, 5]-minor pred tensor lane-pads 128/5 on TPU and
+        # relayouts on both fwd and cotangent (see
+        # oriented_rpn_head.loss); reshape the non-differentiable
+        # targets instead — anchor flat order (h, w, a) is exactly the
+        # NHWC A-minor reshape (get_bboxes decodes with the same
+        # reshape against grid_anchors)
+        loss_bbox = 0.0
+        start = 0
+        for lvl, r in enumerate(bbox_preds):
+            h_l, w_l = featmap_sizes[lvl]
+            a_l = r.shape[-1] // 5
+            n = h_l * w_l * a_l
+            sl = slice(start, start + n)
+            start += n
+            nhwc = (b, h_l, w_l, a_l * 5)
+            loss_bbox += smooth_l1_loss(
+                r.astype(jnp.float32),
+                res.bbox_targets[:, sl].reshape(nhwc),
+                res.bbox_weights[:, sl].reshape(nhwc),
+                beta=self.smooth_l1_beta, avg_factor=num_total)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
     def get_bboxes(self, outs, targets):
