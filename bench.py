@@ -145,10 +145,13 @@ def _make_tiles(tile_dir: str, n: int, img: int, seed: int = 0):
     return paths
 
 
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
 def _decode_tile(path):
     """Native (GIL-releasing, libpng/libjpeg) decode with PIL
     fallback — the production loader path (data/io.py)."""
-    sys.path.insert(0, _REPO)
     from rs_detection_tpu.data.io import load_rgb_array
 
     return load_rgb_array(path)

@@ -142,11 +142,13 @@ class SceneDataset:
             pend_tiles = (tiles if pend_tiles is None
                           else jnp.concatenate([pend_tiles, tiles]))
             while pend_tiles.shape[0] >= bs:
-                yield pend_tiles[:bs], targets, pend_metas[:bs]
+                # fresh dict per batch: consumers may add keys
+                yield pend_tiles[:bs], dict(targets), pend_metas[:bs]
                 pend_tiles = pend_tiles[bs:]
                 pend_metas = pend_metas[bs:]
         n_left = 0 if pend_tiles is None else pend_tiles.shape[0]
         if n_left:
             batch = jnp.pad(pend_tiles, ((0, bs - n_left), (0, 0),
                                          (0, 0), (0, 0)))
-            yield batch, targets, pend_metas + [None] * (bs - n_left)
+            yield (batch, dict(targets),
+                   pend_metas + [None] * (bs - n_left))

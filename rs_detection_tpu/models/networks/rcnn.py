@@ -105,7 +105,7 @@ class RCNN(nn.Module):
         """
         rng = self.make_rng("sampler")
         feats = self.extract_feats(images, train=True)
-        cls_scores, bbox_preds = self._rpn(feats)
+        cls_scores, bbox_preds = self._rpn(feats, train=True)
         k1, k2 = jax.random.split(rng)
         losses = self._rpn.loss(cls_scores, bbox_preds, targets, k1)
         proposals, p_scores, p_valid = self._rpn.get_proposals(

@@ -83,19 +83,48 @@ def _conv_bias_mask(params):
     return walk(params)
 
 
+def _expand_prefix(pref: str):
+    """Translate reference-style resnet stage names to this repo's
+    flax tree: ``backbone.C1`` = the stem (anonymous ``Conv_0`` /
+    ``Norm_0`` modules), ``backbone.C<k>`` = ``layer<k-1>_*`` blocks
+    (reference projects/retinanet/models.py freeze groups)."""
+    import re
+
+    head, _, tail = pref.rpartition(".")
+    m = re.fullmatch(r"C([1-5])", tail)
+    if not m:
+        return [pref]
+    base = head + "." if head else ""
+    k = int(m.group(1))
+    if k == 1:
+        return [base + "Conv_", base + "Norm_"]
+    return [base + f"layer{k - 1}_", base + f"layer{k - 1}."]
+
+
 def _prefix_mask(params, prefixes):
-    """True on every leaf whose dotted path starts with a prefix."""
+    """True on every leaf whose dotted path starts with a prefix.
+    Raises if NO leaf matches — a freeze/grouping prefix that matches
+    nothing means the recipe silently trains what it meant to freeze."""
     import jax
 
-    prefixes = tuple(str(p).replace("/", ".") for p in prefixes)
+    expanded = tuple(q.replace("/", ".")
+                     for p in prefixes
+                     for q in _expand_prefix(str(p).replace("/", ".")))
 
     def decide(path, leaf):
         name = ".".join(str(p.key if hasattr(p, "key") else p)
                         for p in path)
         return any(name.startswith(pref) or name == pref
-                   for pref in prefixes)
+                   for pref in expanded)
 
-    return jax.tree_util.tree_map_with_path(decide, params)
+    mask = jax.tree_util.tree_map_with_path(decide, params)
+    if prefixes and not any(jax.tree_util.tree_leaves(mask)):
+        tops = sorted(params)[:20] if isinstance(params, dict) else []
+        raise ValueError(
+            f"parameter-group prefixes {tuple(prefixes)} (expanded to "
+            f"{expanded}) matched NO parameters; top-level names: "
+            f"{tops}")
+    return mask
 
 
 @MODELS.register_module()

@@ -94,13 +94,16 @@ class OrientedRPNHead(nn.Module):
         self.rpn_reg = nn.Conv(self.num_anchors * self.reg_dim, (1, 1),
                                kernel_init=nn.initializers.normal(0.01))
 
-    def forward_single(self, x):
-        x = nn.relu(self.rpn_conv(x))
+    def forward_single(self, x, train: bool = False):
+        # train must reach MaybeInt8Conv: the int8 serving path is
+        # eval-only (its round/clip has zero gradient)
+        x = nn.relu(self.rpn_conv(x, train))
         return self.rpn_cls(x), self.rpn_reg(x)
 
-    def __call__(self, feats: Sequence[jnp.ndarray]):
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 train: bool = False):
         """Returns per-level (cls [B,H,W,A], reg [B,H,W,A*6])."""
-        outs = [self.forward_single(f) for f in feats]
+        outs = [self.forward_single(f, train) for f in feats]
         cls_scores = [o[0] for o in outs]
         bbox_preds = [o[1] for o in outs]
         return cls_scores, bbox_preds

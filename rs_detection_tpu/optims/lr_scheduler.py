@@ -99,7 +99,16 @@ class CosineAnnealingLRGroup(CosineAnnealingLR):
 
     def __init__(self, warmup_init_lr_pg=None,
                  warmup_initial_momentum=None, min_lr_ratio=0.2, **kw):
-        kw.setdefault("max_steps", kw.pop("max_epoch", 1) or 1)
+        # the reference makes max_steps a required positional arg —
+        # silently defaulting to 1 would collapse the cosine to min_lr
+        # after epoch 0
+        me = kw.pop("max_epoch", None)
+        if "max_steps" not in kw:
+            if not me:
+                raise TypeError(
+                    "CosineAnnealingLRGroup requires max_steps (or "
+                    "max_epoch), as in the reference lr_scheduler")
+            kw["max_steps"] = me
         super().__init__(min_lr_ratio=min_lr_ratio, **kw)
         self.warmup_init_lr_pg = warmup_init_lr_pg
         self.warmup_initial_momentum = warmup_initial_momentum

@@ -137,17 +137,28 @@ class Runner:
         cfg = self.cfg
         mc = cfg.model if isinstance(cfg.model, dict) else {}
         bb = mc.get("backbone") if isinstance(mc, dict) else None
-        wants = (isinstance(bb, dict) and bb.get("pretrained") is True) \
-            or (isinstance(mc, dict) and mc.get("pretrained") is True)
-        if not wants:
+        # any truthy value is a request: True, "modelzoo://..." URLs,
+        # "weights/vgg16.pkl" paths (reference zoo configs use all
+        # three forms) — only False/None mean "no pretrained"
+        pv = (bb or {}).get("pretrained") if isinstance(bb, dict) \
+            else None
+        if not pv and isinstance(mc, dict):
+            pv = mc.get("pretrained")
+        if not pv:
+            return
+        if isinstance(pv, str) and os.path.isfile(pv):
+            # a local (converted) checkpoint path: load it, matching
+            # the reference's torch-converted-ckpt acceptance
+            # (runner.py:283-288)
+            self.load(pv, model_only=True)
             return
         if cfg.allow_random_init or os.environ.get("RS_ALLOW_RANDOM_INIT"):
             return
         bb_type = (bb or {}).get("type", mc.get("type", "model"))
         raise RuntimeError(
             f"config requests pretrained weights for backbone "
-            f"'{bb_type}' (pretrained=True) but no checkpoint was "
-            "given and this environment cannot download the published "
+            f"'{bb_type}' (pretrained={pv!r}) but no usable checkpoint "
+            "was found and this environment cannot download published "
             "weights. Either (a) convert a torch/jittor checkpoint "
             "with tools/convert_checkpoint.py and set "
             "pretrained_weights=<path> in the config, or (b) opt into "
@@ -171,12 +182,22 @@ class Runner:
         if isinstance(pg, dict) and pg.get("type"):
             gen = build_from_cfg(dict(pg), MODELS)
             if callable(gen) and not hasattr(gen, "decay_mask"):
-                wd = float(opt_cfg.get("weight_decay", 0.0) or 0.0)
+                # wrap(tx, base_weight_decay)-style generators chain
+                # extra optax links; mask providers (Yolo-style
+                # __call__(params)) are consumed at optimizer build.
+                # Signature-checked, NOT try/except: a TypeError from
+                # inside wrap must propagate, not silently disable
+                # the recipe's grouping.
+                import inspect
+
                 try:
+                    accepts = ("base_weight_decay"
+                               in inspect.signature(gen).parameters)
+                except (TypeError, ValueError):
+                    accepts = False
+                if accepts:
+                    wd = float(opt_cfg.get("weight_decay", 0.0) or 0.0)
                     self.tx = gen(self.tx, base_weight_decay=wd)
-                except TypeError:
-                    # YoloParameterGroupsGenerator-style mask providers
-                    pass
 
         self.tx_swa = None
         if cfg.optimizer_swa is not None:

@@ -201,7 +201,7 @@ def compare_dets(ref, got, iou_thr=0.7, score_tol=0.05,
         if nr == 0 and ng == 0:
             continue
         denom = max(nr, 1)
-        if abs(nr - ng) > max(2, count_tol * denom):
+        if abs(nr - ng) > count_tol * denom:   # count_tol=0 -> exact
             ok = False
             lines.append(f"img {i}: det count {ng} vs ref {nr}")
         matched = 0
