@@ -21,6 +21,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from ..utils.registry import DATASETS
+from .device_resize import resize_cubic
 from .device_tiler import tile_scene
 from .image import list_images
 from .io import load_rgb
@@ -60,7 +61,8 @@ def _normalize_tiles(tiles, mean, std, to_bgr: bool,
 class SceneDataset:
     def __init__(self, images_dir=None, images_file=None,
                  subsize: int = 1024, gap: int = 200, rate: float = 1.0,
-                 dataset_type: str = "DOTA", batch_size: int = 1,
+                 rates=None, dataset_type: str = "DOTA",
+                 batch_size: int = 1,
                  mean=(123.675, 116.28, 103.53),
                  std=(58.395, 57.12, 57.375), to_bgr: bool = False,
                  num_workers: int = 0, shuffle: bool = False,
@@ -70,6 +72,11 @@ class SceneDataset:
         self.subsize = subsize
         self.gap = gap
         self.rate = rate
+        # multi-scale serving (reference recipe rates 0.5/1.0/1.5,
+        # ImgSplit_multi_process resize): each scene transfers ONCE at
+        # full resolution and is resized ON DEVICE per rate with
+        # cv2-INTER_CUBIC-exact bicubic (data/device_resize.py)
+        self.rates = [float(r) for r in rates] if rates else None
         self.dataset_type = dataset_type
         self.batch_size = batch_size
         self.mean = np.asarray(mean, np.float32)
@@ -121,31 +128,53 @@ class SceneDataset:
         pend_tiles = None                    # device [n, S, S, 3] f32
         pend_metas: list = []
         for path in self.images:
-            scene = self._load_scene(path)
-            tiles_u8, offsets = tile_scene(jnp.asarray(scene), s,
-                                           self.gap)
-            tiles = _normalize_tiles(tiles_u8, mean, std,
-                                     self.to_bgr, flip_mode)
+            if self.rates:
+                # one full-res transfer; per-rate resize on device
+                from PIL import Image
+
+                Image.MAX_IMAGE_PIXELS = None
+                full = jnp.asarray(
+                    np.asarray(load_rgb(path), np.uint8))
+                variants = []
+                for r in self.rates:
+                    if r == 1.0:
+                        variants.append((r, full))
+                    else:
+                        oh = int(round(full.shape[0] * r))
+                        ow = int(round(full.shape[1] * r))
+                        variants.append(
+                            (r, resize_cubic(full, oh, ow)))
+            else:
+                variants = [(float(self.rate),
+                             jnp.asarray(self._load_scene(path)))]
             stem = os.path.splitext(os.path.basename(path))[0]
-            for lf, up in offsets:
-                tile_name = f"{stem}__{rate_tag}__{lf}___{up}.png"
-                pend_metas.append(dict(
-                    filename=tile_name,
-                    # the merge step parses tile offsets from the
-                    # img_file BASENAME (data_merge.py prepare_data)
-                    img_file=tile_name,
-                    scene_file=path,
-                    img_size=(s, s), ori_img_size=(s, s),
-                    scale_factor=1.0,
-                    **(dict(flip_mode=flip_mode)
-                       if flip_mode else {})))
-            pend_tiles = (tiles if pend_tiles is None
-                          else jnp.concatenate([pend_tiles, tiles]))
-            while pend_tiles.shape[0] >= bs:
-                # fresh dict per batch: consumers may add keys
-                yield pend_tiles[:bs], dict(targets), pend_metas[:bs]
-                pend_tiles = pend_tiles[bs:]
-                pend_metas = pend_metas[bs:]
+            for r, scene in variants:
+                tiles_u8, offsets = tile_scene(scene, s, self.gap)
+                tiles = _normalize_tiles(tiles_u8, mean, std,
+                                         self.to_bgr, flip_mode)
+                rtag = str(r) if self.rates else rate_tag
+                for lf, up in offsets:
+                    tile_name = f"{stem}__{rtag}__{lf}___{up}.png"
+                    pend_metas.append(dict(
+                        filename=tile_name,
+                        # the merge step parses tile offsets from the
+                        # img_file BASENAME (data_merge.py
+                        # prepare_data)
+                        img_file=tile_name,
+                        scene_file=path,
+                        img_size=(s, s), ori_img_size=(s, s),
+                        scale_factor=1.0,
+                        **(dict(flip_mode=flip_mode)
+                           if flip_mode else {})))
+                pend_tiles = (tiles if pend_tiles is None
+                              else jnp.concatenate([pend_tiles,
+                                                    tiles]))
+                while pend_tiles.shape[0] >= bs:
+                    # fresh dict per batch: consumers may add keys
+                    yield (pend_tiles[:bs], dict(targets),
+                           pend_metas[:bs])
+                    pend_tiles = pend_tiles[bs:]
+                    pend_metas = pend_metas[bs:]
         n_left = 0 if pend_tiles is None else pend_tiles.shape[0]
         if n_left:
             batch = jnp.pad(pend_tiles, ((0, bs - n_left), (0, 0),

@@ -408,6 +408,46 @@ class TestSceneDataset:
                 ref = (ref - sds.mean) / sds.std
                 np.testing.assert_allclose(arr[k], ref, atol=1e-4)
 
+    def test_multi_rate_device_resize(self, tmp_path):
+        """rates=[0.5, 1.0]: one full-res transfer per scene, per-rate
+        device resize with cv2-INTER_CUBIC parity, ImgSplit rate tags
+        in the tile names (reference ms recipe,
+        ImgSplit_multi_process.py:263-266)."""
+        cv2 = pytest.importorskip("cv2")
+        from PIL import Image
+
+        from rs_detection_tpu.data.device_tiler import tile_positions
+        from rs_detection_tpu.data.scene import SceneDataset
+
+        rng = np.random.RandomState(3)
+        scene = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+        d = tmp_path / "s"
+        d.mkdir()
+        Image.fromarray(scene).save(d / "M.png")
+
+        sds = SceneDataset(images_dir=str(d), subsize=64, gap=16,
+                           rates=[0.5, 1.0], batch_size=4)
+        got = {}
+        for images, _, metas in sds.batches():
+            arr = np.asarray(images)
+            for k, m in enumerate(metas):
+                if m is not None:
+                    got[m["filename"]] = arr[k]
+
+        # expected counts: 0.5 -> 64x64 -> 1 tile; 1.0 -> 2x2 grid
+        n_half = len(tile_positions(64, 64, 48)) ** 2
+        n_full = len(tile_positions(128, 64, 48)) ** 2
+        assert len(got) == n_half + n_full
+        assert sum(1 for n in got if "__0.5__" in n) == n_half == 1
+        assert sum(1 for n in got if "__1.0__" in n) == n_full
+
+        # the 0.5-rate tile must match cv2-resized scene, normalized
+        small = cv2.resize(scene.astype(np.float32), (64, 64),
+                           interpolation=cv2.INTER_CUBIC)
+        ref = (small - sds.mean) / sds.std
+        np.testing.assert_allclose(got["M__0.5__0___0.png"], ref,
+                                   atol=2e-3)
+
     def test_flip_mode_tags_and_flips(self, tmp_path):
         from PIL import Image
 
