@@ -66,7 +66,7 @@ class SceneDataset:
                  mean=(123.675, 116.28, 103.53),
                  std=(58.395, 57.12, 57.375), to_bgr: bool = False,
                  num_workers: int = 0, shuffle: bool = False,
-                 max_gt: int = 1, **kw):
+                 max_gt: int = 1, screen=None, **kw):
         self.images = (list_images(images_dir) if images_dir
                        else list(images_file))
         self.subsize = subsize
@@ -83,6 +83,72 @@ class SceneDataset:
         self.std = np.asarray(std, np.float32)
         self.to_bgr = to_bgr
         self.total_len = len(self.images)
+        # sparse-scene screening (models/networks/tile_screen.py):
+        # screen=dict(checkpoint=..., thresh=0.5) or
+        # screen=dict(checkpoint=..., budget=K) — only tiles the tiny
+        # objectness net keeps reach the detector. OFF by default.
+        self.screen = dict(screen) if screen else None
+        if self.screen and ("thresh" not in self.screen
+                            and "budget" not in self.screen):
+            raise ValueError(
+                "SceneDataset screen= needs 'thresh' or 'budget'")
+        self._screen_fn = None
+        self._screen_vars = None
+        self.screen_stats = dict(total=0, kept=0)
+
+    def _screen_setup(self):
+        """Lazily build + load the screen net (first batches() call)."""
+        import pickle
+
+        import jax
+        from flax import serialization
+
+        from ..utils.registry import MODELS, build_from_cfg
+
+        cfg = dict(self.screen.get("model") or {"type": "TileScreen"})
+        model = build_from_cfg(cfg, MODELS)
+        s = self.subsize
+        variables = model.init(jax.random.PRNGKey(0),
+                               np.zeros((1, s, s, 3), np.float32))
+        ckpt = self.screen.get("checkpoint")
+        if ckpt:
+            with open(ckpt, "rb") as f:
+                data = pickle.load(f)
+            sd = data.get("model", data) if isinstance(data, dict) \
+                else data
+            variables = serialization.from_state_dict(variables, sd)
+        elif not self.screen.get("allow_random_init"):
+            raise ValueError(
+                "SceneDataset screen= without checkpoint= would "
+                "screen with random weights; train one with "
+                "tools/train_screen.py or set allow_random_init=True "
+                "(tests/benchmarks only)")
+        self._screen_vars = variables
+        self._screen_fn = jax.jit(
+            lambda v, t: model.apply(v, t.astype(t.dtype)))
+
+    def _screen_select(self, tiles) -> np.ndarray:
+        """Score a scene-variant's tiles; return kept tile indices
+        (ascending). Tile count is padded to a multiple of 8 so the
+        jitted screen sees a bounded set of shapes across scenes."""
+        import jax.numpy as jnp
+
+        if self._screen_fn is None:
+            self._screen_setup()
+        n = tiles.shape[0]
+        pad = (-n) % 8
+        t = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0), (0, 0))) \
+            if pad else tiles
+        logits = np.asarray(self._screen_fn(self._screen_vars, t))[:n]
+        if "budget" in self.screen:
+            k = min(int(self.screen["budget"]), n)
+            idx = np.sort(np.argsort(-logits)[:k])
+        else:
+            p = 1.0 / (1.0 + np.exp(-logits))
+            idx = np.nonzero(p >= float(self.screen["thresh"]))[0]
+        self.screen_stats["total"] += n
+        self.screen_stats["kept"] += len(idx)
+        return idx
 
     def __len__(self):
         return self.total_len
@@ -152,6 +218,18 @@ class SceneDataset:
                 tiles_u8, offsets = tile_scene(scene, s, self.gap)
                 tiles = _normalize_tiles(tiles_u8, mean, std,
                                          self.to_bgr, flip_mode)
+                if self.screen is not None:
+                    # score the UNFLIPPED tiles so every flip-TTA pass
+                    # keeps the same tile set (merge sees consistent
+                    # coverage per scene)
+                    screen_in = tiles if not flip_mode else \
+                        _normalize_tiles(tiles_u8, mean, std,
+                                         self.to_bgr, None)
+                    keep = self._screen_select(screen_in)
+                    if len(keep) == 0:
+                        continue
+                    tiles = tiles[np.asarray(keep)]
+                    offsets = [offsets[i] for i in keep]
                 rtag = str(r) if self.rates else rate_tag
                 for lf, up in offsets:
                     tile_name = f"{stem}__{rtag}__{lf}___{up}.png"
