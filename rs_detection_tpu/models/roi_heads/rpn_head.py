@@ -78,7 +78,11 @@ class RPNHead(nn.Module):
         self.rpn_reg = nn.Conv(self.num_anchors * 4, (1, 1),
                                kernel_init=nn.initializers.normal(0.01))
 
-    def __call__(self, feats):
+    def __call__(self, feats, train: bool = False):
+        # `train` is accepted for signature parity with OrientedRPNHead
+        # (RCNN.loss calls self._rpn(feats, train=True) uniformly); the
+        # hbb RPN has no train-only behavior (no dropout/BN).
+        del train
         outs = [(self.rpn_cls(h), self.rpn_reg(h))
                 for h in (nn.relu(self.rpn_conv(f)) for f in feats)]
         return [o[0] for o in outs], [o[1] for o in outs]
