@@ -90,7 +90,7 @@ class AlignConv(nn.Module):
         offset = jnp.stack([off_y, off_x], axis=-1)       # (dy, dx)
         offset = jax.lax.stop_gradient(offset.reshape(n, h, w, -1))
 
-        weight = self.param("weight", nn.initializers.normal(0.01),
+        weight = self.param("kernel", nn.initializers.normal(0.01),
                             (k, k, c, self.feat_channels))
         out = deform_conv2d(x, offset, weight, kernel_size=k,
                             padding=pad)
@@ -111,7 +111,7 @@ class ORConv2d(nn.Module):
         k = self.kernel_size
         cin = self.in_channels // self.n_orientation
         weight = self.param(
-            "weight",
+            "kernel",
             nn.initializers.normal(
                 float(np.sqrt(2.0 / (cin * self.n_orientation * k * k)))),
             (self.out_channels, cin, self.n_orientation * k * k))

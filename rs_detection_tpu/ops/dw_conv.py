@@ -38,6 +38,15 @@ def tap_bwd_enabled() -> bool:
     return os.environ.get("RS_DW_TAP_BWD", "0") == "1"
 
 
+def wgrad_pallas_enabled() -> bool:
+    """Use the VMEM-resident Pallas weight-grad kernel
+    (ops/pallas_dw_wgrad.py) instead of the jnp tap loop inside the
+    custom backward. Default ON: the jnp loop re-reads x and g from
+    HBM per tap (the round-3 693 ms/iter loser); the kernel reads each
+    block once."""
+    return os.environ.get("RS_DW_WGRAD_PALLAS", "1") == "1"
+
+
 def _fwd_conv(x, w, dilation: int):
     k = w.shape[0]
     c = x.shape[-1]
@@ -74,6 +83,16 @@ def _vjp_bwd(dilation: int, res, g):
         rhs_dilation=(dilation, dilation), feature_group_count=c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=g.dtype).astype(x.dtype)
+
+    if wgrad_pallas_enabled():
+        # VMEM-resident Pallas tap-reduce: reads each (x, g) block
+        # from HBM once and runs all K*K taps in VMEM (bf16 VPU
+        # multiply + MXU f32 reduction per tap)
+        from .pallas_dw_wgrad import dw_wgrad_pallas
+
+        dw = dw_wgrad_pallas(x, g.astype(x.dtype), k, dilation) \
+            .astype(w.dtype)
+        return dx, dw
 
     # d/dw: static tap loop over the K*K offsets. Each tap reads a
     # shifted HxW view of the padded input against g — fused by XLA

@@ -131,6 +131,18 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
 
     wdw = wdw_ref[:].astype(f32)                        # [9, Ch]
 
+    # tap/accumulate dtype for the 9-tap dw. bf16 taps were tried
+    # (they match the XLA path's own bf16 accumulation and bf16 MACs
+    # nominally retire 2x f32) and MEASURED SLOWER on v5e: 69.8 vs
+    # 61.8 ms stage-stacked (round-4 A/B, round4_mlp_ab.py) — the
+    # un-converted tap slices keep whole bf16 hidden views live as
+    # register copies (21M scoped VMEM) and Mosaic's bf16 select/add
+    # mix doesn't reach the 2x rate. f32 stays the default; bf16 is
+    # RS_VAN_MLP_BF16_TAPS=1 for future re-measurement.
+    tap_f32 = os.environ.get("RS_VAN_MLP_BF16_TAPS", "0") != "1"
+    tdt = f32 if tap_f32 else xv.dtype
+    wdw_t = wdw.astype(tdt)
+
     def dw_gelu_fc2(h1, nr):
         """9-tap dw + exact gelu + fc2 over nr OUTPUT rows given the
         (nr + 2)-row hidden slab h1."""
@@ -139,15 +151,15 @@ def _mlp_kernel(xp_hbm, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
         # the 3 shifted copies serves all 3 dy-taps (leading-dim
         # slices are free)
         for dx in range(3):
-            sxd = h1[:, dx:dx + w].astype(f32)          # [nr+2, w, Ch]
+            sxd = h1[:, dx:dx + w].astype(tdt)          # [nr+2, w, Ch]
             for dy in range(3):
-                tap = sxd[dy:dy + nr] * wdw[dy * 3 + dx]
+                tap = sxd[dy:dy + nr] * wdw_t[dy * 3 + dx]
                 acc = tap if acc is None else acc + tap
         # exact (erf) gelu in f32: Mosaic lowers neither erf nor
         # erfc; _erf_as is the shared A&S 7.1.26 polynomial (max err
         # 1.5e-7 — below bf16 resolution, i.e. bit-identical to exact
         # after cast) and is pure jnp, so it inlines into the kernel
-        hpre = acc + bdw_ref[0].astype(f32)
+        hpre = acc.astype(f32) + bdw_ref[0].astype(f32)
         erf = _erf_as(hpre * np.float32(0.7071067811865476))
         if quant:
             h2 = (hpre * 0.5 * (1.0 + erf)).reshape(nr * w, ch)
@@ -250,10 +262,11 @@ def _van_mlp_fwd_impl(x, w1, b1, wdw, bdw, w2, b2, residual=False):
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # the split-phase pipeline holds two hidden half-slabs (+
-            # their f32 dw/gelu temporaries) live at once — past the
-            # default 16M scoped-vmem guard
-            vmem_limit_bytes=48 * 1024 * 1024 if split > 1 else None),
+            # bf16 tap slices keep the dx-shifted hidden views live as
+            # register copies (21M scoped at stage-1 shapes — past the
+            # 16M default guard); the split-phase pipeline holds two
+            # hidden half-slabs. v5e physical VMEM is far larger.
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(xp, w1c, b1.astype(jnp.float32)[None],
       wdw.astype(x.dtype), bdw.astype(jnp.float32)[None],
