@@ -11,13 +11,12 @@ This kernel reads each (x, g) row block from HBM ONCE and runs all
 K*K taps against the VMEM-resident copies:
 
 * the tap multiply is a bf16 VPU op (matching the conv's own operand
-  precision);
-* the (rows * cols) reduction of each tap rides the MXU as a
-  ``ones @ prod`` contraction with f32 accumulation — the VPU does one
-  multiply per element per tap, the systolic array does the adds;
+  precision), followed by an f32 VPU (rows * cols) reduction — an MXU
+  ``ones @ prod`` reduce was tried first and measured slower e2e (the
+  M=1 matmul uses 1/128 of the systolic rows per tap, latency-bound);
 * per-tap partials accumulate in an f32 VMEM scratch that persists
-  across the sequential grid; the last program writes the [K*K, C]
-  result.
+  across the sequential grid (one accumulator update per block); the
+  last program writes the [K*K, C] result.
 
 x blocks overlap by the 2p halo, which BlockSpec pipelining cannot
 express — x stays in ANY memory and is double-buffer DMA'd manually
@@ -74,16 +73,19 @@ def _wgrad_kernel(xp_hbm, g_ref, out_ref, xbuf, acc_ref, sems, *,
 
     xv = xbuf[slot]                                   # [rows, Wp, C]
     gv = g_ref[0]                                     # [bh, Wgp, C]
-    c = gv.shape[-1]
-    ones = jnp.ones((1, bh * wgp), dtype=gv.dtype)
+    parts = [None] * (k * k)
     for dx in range(k):
         sxd = xv[:, dx * d:dx * d + wgp]              # one relayout/dx
         for dy in range(k):
             prod = sxd[dy * d:dy * d + bh] * gv       # bf16 VPU mul
-            # (rows*cols) reduce on the MXU, f32 accumulation
-            part = jnp.dot(ones, prod.reshape(bh * wgp, c),
-                           preferred_element_type=jnp.float32)
-            acc_ref[dy * k + dx:dy * k + dx + 1, :] += part
+            # VPU f32 reduce. (An MXU ones@prod reduce was tried
+            # first and measured 666 vs 533 ms/iter e2e train — the
+            # M=1 matmul uses 1/128 of the systolic rows per tap and
+            # is latency-bound.)
+            parts[dy * k + dx] = jnp.sum(prod, axis=(0, 1),
+                                         dtype=jnp.float32)
+    # one accumulator update per block, not one per tap
+    acc_ref[...] += jnp.stack(parts)
 
     @pl.when(last)
     def _():
@@ -101,7 +103,10 @@ def dw_wgrad_pallas(x, g, k: int, dilation: int = 1):
     wgp = w + (-w) % 16
     wp_need = (k - 1) * d + wgp
     wp = wp_need + (-wp_need) % 16
-    bh = min(32, h)
+    # bh=32 overflowed the 100M scoped-vmem budget by 0.5M at the
+    # stage-1 hidden shape [8,256,256,512] (two x slots + pipelined g
+    # + tap temporaries); 16 leaves ~2x headroom
+    bh = min(16, h)
     hpad = (-h) % bh
     nj = (h + hpad) // bh
     rows = bh + 2 * p
