@@ -9,6 +9,13 @@ so the tolerance here is tighter than the reference's 0.2.
 
 Run with ``--record`` semantics: if the fixture file is absent it is
 created (first run on a new machine records; CI then enforces).
+
+Scope caveat (keep visible): these fixtures are SELF-recorded — they
+pin THIS framework's loss stream against regressions, they do not
+encode the reference's Jittor losses (the reference fixtures in
+``projects/*/test_*.py`` do; reproducing them requires running
+Jittor, which this environment cannot). Cross-framework numeric
+parity is covered separately by ``tests/test_torch_parity*.py``.
 """
 
 import json
