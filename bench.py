@@ -33,6 +33,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 _LAST_KNOWN_FILE = os.path.join(_REPO, "BENCH_LAST.json")
 # builder-measured round-2 same-window number (README perf table);
 # used only if no BENCH_LAST.json has ever been written
+# BASELINE.json north star (tiles/sec/chip) — single constant for all
+# vs_baseline computations
+BASELINE_TILES_PER_SEC = 400.0
+
 _LAST_KNOWN_FALLBACK = {"metric": "orcnn_vanb3_1024tile_norm_infer_e2e",
                         "value": 46.5, "unit": "tiles/sec/chip",
                         "vs_baseline": 0.1163}
@@ -422,7 +426,7 @@ def _scene_sparse_bench(args, model, variables, targets, tiny, batch,
                    else "orcnn_tiny_scene_sparse_smoke"),
         "value": round(eff_budget, 2),
         "unit": "effective_tiles/sec/chip",
-        "vs_baseline": round(eff_budget / 400.0, 4),
+        "vs_baseline": round(eff_budget / BASELINE_TILES_PER_SEC, 4),
         "occupancy_requested": args.scene_sparse / 100.0,
         "occupancy_measured": round(occ_measured, 4),
         "budget_K_per_scene": K,
@@ -621,7 +625,7 @@ def main():
                       if not tiny else "orcnn_tiny_scenestream_smoke",
             "value": round(1.0 / best_dt, 2),
             "unit": "tiles/sec/chip",
-            "vs_baseline": round(1.0 / best_dt / 400.0, 4),
+            "vs_baseline": round(1.0 / best_dt / BASELINE_TILES_PER_SEC, 4),
         }))
         return
     if args.scene:
@@ -669,7 +673,7 @@ def main():
                       if not tiny else "orcnn_tiny_scene_smoke",
             "value": round(1.0 / best_dt, 2),
             "unit": "tiles/sec/chip",
-            "vs_baseline": round(1.0 / best_dt / 400.0, 4),
+            "vs_baseline": round(1.0 / best_dt / BASELINE_TILES_PER_SEC, 4),
         }))
         return
     if args.no_preproc:
@@ -740,7 +744,7 @@ def main():
             best_dt = dt if best_dt is None else min(best_dt, dt)
 
     tiles_per_sec = batch / best_dt
-    target = 400.0  # BASELINE.json north star (tiles/sec/chip)
+    target = BASELINE_TILES_PER_SEC
     print(json.dumps({
         "metric": metric if not tiny else "orcnn_tiny_smoke_infer",
         "value": round(tiles_per_sec, 2),

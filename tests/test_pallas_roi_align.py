@@ -90,6 +90,69 @@ def test_oob_and_border_rois():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_dynamic_fallback_small_bucket_exact():
+    """Pay-per-use fallback: with frac=1.0 but only 2 tier>=1 rois,
+    the switch selects a small capacity bucket — and every roi is
+    still exact vs the XLA path (the bucket covers all tier-B rois,
+    and tier-A rois recomputed by the tail are exact either way)."""
+    rng = np.random.RandomState(21)
+    feats = _pyramid(rng)
+    a = _rand_rois(rng, 28, 2, tier_a_only=True)
+    big = np.array(_rand_rois(rng, 2, 2))
+    big[:, 3] = 380.0
+    big[:, 4] = 40.0
+    rois = jnp.concatenate([a, jnp.asarray(big)], 0)
+    ref = roi_align_rotated_pyramid(feats, rois, 7, strides=STRIDES)
+    got = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=1.0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dynamic_fallback_zero_bucket_matches_windowed():
+    """All tier-A rois with a nonzero fallback budget: n_need == 0
+    selects the zero-capacity branch, so the output must be bitwise
+    the windowed kernel's result (the frac=0.0 run)."""
+    rng = np.random.RandomState(22)
+    feats = _pyramid(rng)
+    rois = _rand_rois(rng, 24, 2, tier_a_only=True)
+    got_dyn = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.5,
+        interpret=True)
+    got_win = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.0,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_dyn),
+                                  np.asarray(got_win))
+
+
+def test_dynamic_fallback_matches_static(monkeypatch):
+    """RS_ROI_FB_DYNAMIC=0 (single static bucket) and the default
+    bucketed path agree exactly when the selected bucket covers all
+    tier>=1 rois. The flag is read at trace time, so flip it across a
+    cache clear."""
+    rng = np.random.RandomState(23)
+    feats = _pyramid(rng)
+    a = _rand_rois(rng, 26, 2, tier_a_only=True)
+    big = np.array(_rand_rois(rng, 6, 2))
+    big[:, 3] = 380.0
+    big[:, 4] = 40.0
+    rois = jnp.concatenate([a, jnp.asarray(big)], 0)
+
+    jax.clear_caches()
+    got_dyn = np.asarray(roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.5,
+        interpret=True))
+    monkeypatch.setenv("RS_ROI_FB_DYNAMIC", "0")
+    jax.clear_caches()
+    got_sta = np.asarray(roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.5,
+        interpret=True))
+    jax.clear_caches()
+    np.testing.assert_allclose(got_dyn, got_sta, rtol=2e-4, atol=2e-4)
+
+
 def test_grad_flows_via_xla_vjp():
     rng = np.random.RandomState(4)
     feats = _pyramid(rng, n=1, c=8, base=64)
@@ -254,6 +317,36 @@ class TestPallasBackward:
                                for a, b in zip(d_feats, dx)))
         # the op is linear in features, so this is exact up to f32
         # accumulation noise
+        assert abs(lhs - rhs) / (abs(rhs) + 1e-6) < 5e-3, (lhs, rhs)
+
+    def test_dynamic_fallback_bwd_adjoint(self):
+        """Adjoint dot-check through the pay-per-use switch: the
+        backward must select the SAME bucket as the forward so the
+        vjp subset matches the forward's overwrite exactly. Mixed
+        tiers with a large budget so n_need << n_fb (a small bucket
+        is selected in both directions)."""
+        rng = np.random.RandomState(24)
+        feats = _pyramid(rng, n=2, c=32)
+        a = _rand_rois(rng, 24, 2, img=400, tier_a_only=True)
+        big = np.array(_rand_rois(rng, 3, 2, img=400))
+        big[:, 3] = 380.0
+        big[:, 4] = 40.0
+        rois = jnp.concatenate([a, jnp.asarray(big)], 0)
+
+        def f(fs):
+            return roi_align_rotated_pyramid_pallas(
+                fs, rois, 7, strides=STRIDES, fallback_frac=1.0,
+                interpret=True)
+
+        g = jnp.asarray(rng.randn(*f(feats).shape).astype(np.float32))
+        _, vjp = jax.vjp(f, feats)
+        (d_feats,) = vjp(g)
+        dx = [jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+              for x in feats]
+        lhs = float(jnp.sum(g * (f([x + 1e-2 * d for x, d
+                                    in zip(feats, dx)]) - f(feats))))
+        rhs = 1e-2 * float(sum(jnp.sum(a_ * b_)
+                               for a_, b_ in zip(d_feats, dx)))
         assert abs(lhs - rhs) / (abs(rhs) + 1e-6) < 5e-3, (lhs, rhs)
 
     def test_d_rois_zero_and_env_fallback(self, monkeypatch):

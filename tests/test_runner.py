@@ -219,6 +219,78 @@ def test_runner_resume_equivalence(tmp_path):
 
 
 @pytest.mark.slow
+def test_runner_sharded_resume_equivalence(tmp_path):
+    """Mesh durability (VERDICT-r4 #7): multi-epoch Runner.run on the
+    FULL virtual 8-device mesh, killed mid-train and search_ckpt
+    auto-resumed — the resumed per-step loss trajectory and final
+    params must match an uninterrupted run. Extends the single-device
+    resume-equivalence test to the sharded path a real deployment
+    uses (batch 8 -> 1 tile/device)."""
+    import jax
+    import rs_detection_tpu.data  # noqa: F401
+    import rs_detection_tpu.models  # noqa: F401
+    from rs_detection_tpu.config import get_cfg
+    from rs_detection_tpu.runner.runner import Runner
+
+    ds_dir = make_dataset(str(tmp_path / "ds"), n=8)
+
+    def sharded_cfg(work_dir, max_iter):
+        c = _tiny_cfg(ds_dir, work_dir, max_iter)
+        c["dataset"]["train"]["batch_size"] = 8
+        c["log_interval"] = 1
+        return c
+
+    def capture_losses(runner, seen):
+        orig = runner.logger.log
+
+        def spy(payload):
+            if "total_loss" in payload:
+                seen[payload["iter"]] = payload["total_loss"]
+            return orig(payload)
+
+        runner.logger.log = spy
+
+    cfg = get_cfg()
+    cfg.clear()
+    cfg.update(sharded_cfg(str(tmp_path / "wA"), max_iter=4))
+    run_a = Runner()
+    assert run_a.mesh.size == 8, "expected the full 8-device mesh"
+    loss_a = {}
+    capture_losses(run_a, loss_a)
+    run_a.run()
+    assert run_a.iter == 4
+    params_a = jax.tree_util.tree_leaves(run_a.state.params)
+
+    # interrupted run: 2 steps, then the process "dies" (new Runner)
+    cfg.clear()
+    cfg.update(sharded_cfg(str(tmp_path / "wB"), max_iter=2))
+    run_b1 = Runner()
+    run_b1.run()
+    assert run_b1.iter == 2
+    del run_b1
+
+    cfg.clear()
+    cfg.update(sharded_cfg(str(tmp_path / "wB"), max_iter=4))
+    run_b2 = Runner()   # search_ckpt auto-resume from wB
+    assert run_b2.iter == 2
+    assert run_b2.mesh.size == 8
+    loss_b = {}
+    capture_losses(run_b2, loss_b)
+    run_b2.run()
+    assert run_b2.iter == 4
+
+    # the resumed loss trajectory must continue the uninterrupted one
+    for it in (3, 4):
+        assert it in loss_a and it in loss_b, (loss_a, loss_b)
+        np.testing.assert_allclose(loss_b[it], loss_a[it],
+                                   rtol=1e-4, atol=1e-5)
+    params_b = jax.tree_util.tree_leaves(run_b2.state.params)
+    for a, b in zip(params_a, params_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_runner_sharded_eval_matches_single(tmp_path):
     """Engine-level: the Runner's mesh eval step == single-device eval
     for the real (tiny) flagship, on the virtual CPU mesh."""

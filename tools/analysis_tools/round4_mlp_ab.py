@@ -73,11 +73,11 @@ def main():
 
         from rs_detection_tpu.ops import pallas_van_mlp as M
 
-        os.environ["RS_VAN_MLP_F32_TAPS"] = "1"
+        os.environ["RS_VAN_MLP_BF16_TAPS"] = "0"
         k32 = stack(lambda xx, *w: M.van_mlp(xx, *w))
         t32 = timed(k32, x, *wdt)
 
-        os.environ["RS_VAN_MLP_F32_TAPS"] = "0"
+        os.environ["RS_VAN_MLP_BF16_TAPS"] = "1"
         k16 = stack(lambda xx, *w: M.van_mlp(xx, *w))
         t16 = timed(k16, x, *wdt)
 
