@@ -60,12 +60,20 @@ _EXTENT = 30.0
 # VMEM slice tile-aligned). The surrounding ring holds stale-but-
 # finite data with zero A-weight (scratch is zeroed at program 0), so
 # numerics are unchanged — only DMA bytes drop (786 KB -> 393 KB).
-# Big-window tier for long-aspect rois (per-axis extent <= 62): one
-# [64, 96, C] DMA per roi (rb=1, ~3.1 MB) replaces the XLA gather
-# fallback for all but degenerate hairline boxes.
-BWIN_H = 64
-BWIN_W = 96
-_B_EXT = 62.0
+# Big-window tier (per-axis extent <= 38): one [40, 64, C] DMA per
+# roi (rb=1, ~1.3 MB) replaces the XLA gather fallback. Sized from
+# the measured bench proposal stream (round-5 fb_need probe): tier>=1
+# rois are NOT long-aspect — they are near-square top-of-level-bucket
+# boxes whose max-axis extent is p50=32 / p95=37.7 / p99=46.1, so an
+# extent-38 window captures 95.4% of them at 42% of the [64, 96]
+# window's DMA bytes; the rest (~0.8% of all rois) stays on the exact
+# XLA tail, which the dynamic bucket then serves at its smallest
+# capacity. Coverage guarantee (same arithmetic as the std window):
+# y rows floor(cy)-19..floor(cy)+20 cover samples within cy+-19;
+# x0 = align16(floor(cx)-19) >= cx-35, right edge x0+63 >= cx+28.
+BWIN_H = 40
+BWIN_W = 64
+_B_EXT = 38.0
 
 SWIN_H = 24
 SWIN_W = 32
@@ -326,21 +334,41 @@ def _build_a(sx, sy, win_h: int, win_w: int, s: int, dt):
     window-relative bin-major sample coords [R, PP, s*s]. Written as
     an explicit j-sum of broadcast products so XLA fuses it into one
     elementwise pass over the output (an einsum here lowers to R*P*P
-    tiny K=s^2 batched matmuls — measured far slower)."""
+    tiny K=s^2 batched matmuls — measured far slower).
+
+    The build is VPU-op-bound, not bandwidth-bound (13.7 ms at 16k
+    rois ≈ 10 ops x 1.2G elements at ~1 vector op/cycle — see
+    docs/roofline.md §1), so every full-area pass counts. The default
+    path (``RS_ROI_A_FOLD=0`` restores the legacy one) folds the
+    1/s^2 bin-mean and the x255 u8 fixed-point scale into the small
+    [R, PP, win_h] y-factor, and rounds via ``+0.5`` + the truncating
+    f32->u8 convert (a >= 0, so that is exact round-half-up; entries
+    differ from the legacy round-half-even only at exact .5
+    fixed-point ties, inside the documented <=0.5/255 quantization
+    band) — two fewer full-area VPU passes."""
     py = jnp.arange(win_h, dtype=jnp.float32)
     px = jnp.arange(win_w, dtype=jnp.float32)
+    u8 = _A_U8 and jnp.dtype(dt) == jnp.bfloat16
+    fold = os.environ.get("RS_ROI_A_FOLD", "1") != "0"
+    scale = (255.0 if u8 else 1.0) / float(s * s) if fold else 1.0
     a = None
     for j in range(s * s):
         wy = jax.nn.relu(1.0 - jnp.abs(sy[:, :, j, None] - py))
+        if fold:
+            wy = wy * scale
         wx = jax.nn.relu(1.0 - jnp.abs(sx[:, :, j, None] - px))
         term = wy[:, :, :, None] * wx[:, :, None, :]
         a = term if a is None else a + term
     r, pp = sx.shape[0], sx.shape[1]
-    a = a * (1.0 / (s * s))
+    if not fold:
+        a = a * (1.0 / (s * s))
     # u8 only on the bf16 (inference) path: f32 callers get exact
     # bilinear weights
-    if _A_U8 and jnp.dtype(dt) == jnp.bfloat16:
-        a = jnp.round(a * 255.0).astype(jnp.uint8)
+    if u8:
+        if fold:
+            a = (a + 0.5).astype(jnp.uint8)
+        else:
+            a = jnp.round(a * 255.0).astype(jnp.uint8)
     else:
         a = a.astype(dt)
     return a.reshape(r, pp, win_h * win_w)
@@ -437,7 +465,11 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
     b_idx = jnp.clip(ros[:, 0].astype(jnp.int32), 0, fp[0].shape[0] - 1)
     meta1 = (b_idx * num_levels + lvl) * 4 + tier_dma
     meta2 = y0_dma * 8192 + x0_dma
-    n_need = jnp.sum((tier >= 1).astype(jnp.int32))
+    # (tier>=1 count, tier>=2 count): the XLA exact tail sizes itself
+    # by the first when it is the only oversize path, by the second
+    # when the big-window pass (exact for tier 1) is enabled
+    n_need = (jnp.sum((tier >= 1).astype(jnp.int32)),
+              jnp.sum((tier >= 2).astype(jnp.int32)))
     return a, meta1, meta2, fp, ros, lvl, inv_order, n_need
 
 
@@ -493,8 +525,11 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
 
     n_big = 0 if big_frac <= 0 else min(r, int(round(r * big_frac)))
     pad_min = (BWIN_H, BWIN_W) if n_big else (WIN_H, WIN_W)
-    a, meta1, meta2, fp, ros, lvl_s, inv_order, n_need = _prepare(
+    a, meta1, meta2, fp, ros, lvl_s, inv_order, (n1, n2) = _prepare(
         feats, rois_f, strides, finest_scale, p, s, pad_min=pad_min)
+    # with the big-window pass on, only tier-2 (ext > _B_EXT) rois
+    # still need the XLA exact tail; tier-1 get exact big windows
+    n_need = n2 if n_big else n1
 
     pooled = _pallas_pool(a, meta1, meta2, fp, rb, interpret)  # [R,PP,Cp]
 

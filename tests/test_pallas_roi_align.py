@@ -231,21 +231,63 @@ def test_shard_map_composition():
                                rtol=2e-4, atol=2e-4)
 
 
+def _tier1_rois(rng, r, n, img=512):
+    """Rois whose per-axis sample extent lands in (30, 38] at their
+    level — the big-window tier. Two populations, mirroring the
+    round-5 fb_need probe finding: rotated near-squares at the top of
+    a level bucket (the dominant case) and moderate-aspect boxes."""
+    b = rng.randint(0, n, r).astype(np.float32)
+    cx = rng.uniform(60, img - 60, r)
+    cy = rng.uniform(60, img - 60, r)
+    sq = rng.rand(r) < 0.5
+    # near-square at 45 deg: scale=h in [90, 106) -> lvl 0, rw=rh=h/4
+    # in [22.5, 26.5), extent = rw*sqrt(2) in (31.8, 37.5)
+    h_sq = rng.uniform(90, 106, r)
+    # aspect-4 at ~0 deg: h in [31, 38) -> lvl 0 (scale=2h), rw=h
+    h_ar = rng.uniform(31, 38, r)
+    w = np.where(sq, h_sq, 4.0 * h_ar)
+    h = np.where(sq, h_sq, h_ar)
+    t = np.where(sq, np.pi / 4, rng.uniform(-0.15, 0.15, r))
+    return jnp.asarray(
+        np.stack([b, cx, cy, w, h, t], 1).astype(np.float32))
+
+
 @pytest.mark.slow
 def test_big_window_tier_exact():
-    """Long-aspect rois (extent 30..62 at their level) are exact via
-    the [64, 96] big-window pass with NO XLA fallback."""
+    """Tier-1 rois (extent 30..38 at their level) are exact via the
+    [40, 64] big-window pass with NO XLA fallback."""
     rng = np.random.RandomState(9)
     feats = _pyramid(rng)
     a = _rand_rois(rng, 24, 2, tier_a_only=True)
-    big = np.array(_rand_rois(rng, 8, 2))
-    big[:, 3] = rng.uniform(250, 420, 8)   # elongated: tier-1 extents
-    big[:, 4] = rng.uniform(20, 60, 8)
-    rois = jnp.concatenate([a, jnp.asarray(big)], 0)
+    big = _tier1_rois(rng, 8, 2)
+    rois = jnp.concatenate([a, big], 0)
     ref = roi_align_rotated_pyramid(feats, rois, 7, strides=STRIDES)
     got = roi_align_rotated_pyramid_pallas(
         feats, rois, 7, strides=STRIDES, fallback_frac=0.0,
         big_frac=0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_big_window_plus_tier2_tail_exact():
+    """big_frac > 0 AND fallback_frac > 0 with tier-2 (hairline) rois
+    present: the XLA exact tail now sizes itself by the tier-2 count
+    only (tier-1 handled exactly by the big-window pass), and the
+    whole mix must still match the XLA path exactly."""
+    rng = np.random.RandomState(11)
+    feats = _pyramid(rng)
+    a = _rand_rois(rng, 20, 2, tier_a_only=True)
+    big = _tier1_rois(rng, 6, 2)
+    hair = np.array(_rand_rois(rng, 4, 2))
+    hair[:, 3] = rng.uniform(900, 1600, 4)  # tier-2: extent > 38
+    hair[:, 4] = rng.uniform(4, 10, 4)
+    hair[:, 5] = 0.0
+    rois = jnp.concatenate([a, big, jnp.asarray(hair)], 0)
+    ref = roi_align_rotated_pyramid(feats, rois, 7, strides=STRIDES)
+    got = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.5,
+        big_frac=0.4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 

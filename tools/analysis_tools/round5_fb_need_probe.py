@@ -87,6 +87,21 @@ def main():
               f"{'COVERS' if cap >= n1 else 'clamps'} n_need",
               flush=True)
 
+    # extent distribution of the tier>=1 set: does a mid-size window
+    # capture most of them, and how axis-skewed are they?
+    ex = np.asarray(ext_x)[tier >= 1]
+    ey = np.asarray(ext_y)[tier >= 1]
+    emax = np.maximum(ex, ey)
+    emin = np.minimum(ex, ey)
+    for name, v in (("max-axis extent", emax), ("min-axis extent", emin)):
+        q = np.percentile(v, [50, 75, 90, 95, 99, 100])
+        print(f"  tier>=1 {name} p50/75/90/95/99/max: "
+              + "/".join(f"{x:.1f}" for x in q), flush=True)
+    for lim in (38.0, 46.0, 62.0):
+        print(f"  tier>=1 with max-axis extent <= {lim}: "
+              f"{(emax <= lim).sum()} ({(emax <= lim).mean():.1%})",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
