@@ -471,6 +471,13 @@ def main():
                          "measured dense (all tiles through the "
                          "detector) vs screened (thresh + budget "
                          "modes), with the screen's recall reported")
+    ap.add_argument("--scan", action="store_true",
+                    help="dense path only: fold the timed loop into "
+                         "one device-side lax.scan over the staged "
+                         "batches (single dispatch) — isolates host "
+                         "per-dispatch serialization from device "
+                         "throughput (A/B vs the default async "
+                         "dispatch loop)")
     ap.add_argument("--with-decode", action="store_true",
                     help="also put PNG decode on the clock (needs a "
                          "multi-core host; this bench host has 1 vCPU "
@@ -547,7 +554,10 @@ def main():
         dep = fwd(variables, images, targets, dep)
     float(dep)
 
-    if args.trace:
+    if args.trace and args.no_preproc:
+        # legacy f32-input program (the --no-preproc metric); the
+        # default dense metric (fwd_u8) is traced further down so the
+        # trace measures the program the headline actually times
         with jax.profiler.trace(args.trace):
             dep = jnp.float32(0.0)
             for _ in range(3):
@@ -727,21 +737,68 @@ def main():
                     yield staged[k % len(staged)]
 
             metric = "orcnn_vanb3_1024tile_norm_infer_e2e"
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            dep = jnp.float32(0.0)
-            # double buffering: batch k+1 decodes/transfers while the
-            # device runs batch k (device_put is async)
-            gen = batches()
-            pending = jax.device_put(next(gen))
-            for k in range(args.iters):
-                cur = pending
-                if k + 1 < args.iters:
-                    pending = jax.device_put(next(gen))
-                dep = fwd_u8(variables, cur, targets, dep)
-            float(dep)
-            dt = (time.perf_counter() - t0) / args.iters
-            best_dt = dt if best_dt is None else min(best_dt, dt)
+            if args.trace:
+                # trace the ACTUAL metric program (u8 inputs, on-device
+                # normalize) on real decoded tiles — NOT the f32 `fwd`
+                # program, whose device busy differs (input relayout
+                # copies; 190.8 vs the u8 program's — see perf_notes
+                # round-5 gap analysis)
+                with jax.profiler.trace(args.trace):
+                    dep = jnp.float32(0.0)
+                    for k in range(3):
+                        dep = fwd_u8(variables, staged[k % len(staged)],
+                                     targets, dep)
+                    float(dep)
+                print(f"trace(u8) -> {args.trace}", file=sys.stderr,
+                      flush=True)
+        if args.scan and not args.with_decode:
+            # single-dispatch variant: the whole timed run is ONE
+            # device program scanning over the staged batches, so the
+            # tunnel's per-dispatch host cost (26 ms RTT, serialized
+            # execute RPCs) is out of the picture entirely. A/B vs
+            # the default loop quantifies the host-serialization gap
+            # flagged in perf_notes round-5.
+            import jax.lax as lax
+
+            stg = jax.device_put(jnp.stack(host))
+            jax.block_until_ready(stg)
+            ks = jnp.arange(args.iters, dtype=jnp.int32) % len(host)
+
+            @jax.jit
+            def scan_fwd(v, st, t, d, kk):
+                def body(acc, k):
+                    x = (st[k].astype(jnp.float32) - mean) / std \
+                        + acc * 0.0
+                    return acc + jnp.sum(model.apply(
+                        v, x, t, method=model.predict)["scores"]), None
+
+                acc, _ = lax.scan(body, d, kk)
+                return acc
+
+            float(scan_fwd(variables, stg, targets,
+                           jnp.float32(0.0), ks))   # warm/compile
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                float(scan_fwd(variables, stg, targets,
+                               jnp.float32(0.0), ks))
+                dt = (time.perf_counter() - t0) / args.iters
+                best_dt = dt if best_dt is None else min(best_dt, dt)
+        else:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                dep = jnp.float32(0.0)
+                # double buffering: batch k+1 decodes/transfers while
+                # the device runs batch k (device_put is async)
+                gen = batches()
+                pending = jax.device_put(next(gen))
+                for k in range(args.iters):
+                    cur = pending
+                    if k + 1 < args.iters:
+                        pending = jax.device_put(next(gen))
+                    dep = fwd_u8(variables, cur, targets, dep)
+                float(dep)
+                dt = (time.perf_counter() - t0) / args.iters
+                best_dt = dt if best_dt is None else min(best_dt, dt)
 
     tiles_per_sec = batch / best_dt
     target = BASELINE_TILES_PER_SEC

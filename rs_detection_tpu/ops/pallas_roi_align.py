@@ -407,11 +407,15 @@ def _fwd_order(rois_f, strides, finest_scale, num_levels):
 
 
 def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
-             pad_min=(WIN_H, WIN_W)):
+             pad_min=(WIN_H, WIN_W), r_std=None):
     """Sort rois (std-window tier first, then big-window, then
     fallback), compute window meta + the dense interpolation matrix A.
     Returns (a, meta1, meta2, padded feats, sorted rois, sorted
-    levels, inverse permutation)."""
+    levels, inverse permutation). With ``r_std`` (the static-split
+    prefix length), A/meta are built only for the prefix the std pass
+    actually consumes — the A build is VPU-op-bound and A's relayout
+    copy is the largest in the program (roofline §1), so the suffix
+    rows routed to the big-window pass must not pay it."""
     num_levels = len(strides)
     r = rois_f.shape[0]
 
@@ -433,18 +437,23 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
     tier_dma = jnp.where(micro, 2, jnp.where(small, 1, 0))[order] \
         .astype(jnp.int32)
 
+    rp = r if r_std is None else max(0, min(r, r_std))
+    ros_p, lvl_p, tier_dma = ros[:rp], lvl[:rp], tier_dma[:rp]
+
     x, y, live, (cx, cy, _, _, _, _) = _sample_coords(
-        ros, lvl, strides, h_tab, w_tab, p, s)
+        ros_p, lvl_p, strides, h_tab, w_tab, p, s)
 
     cyi = jnp.floor(cy).astype(jnp.int32)
     cxi = jnp.floor(cx).astype(jnp.int32)
-    y0_full = jnp.clip(cyi - (WIN_H // 2 - 1), 0, hp_tab[lvl] - WIN_H)
+    y0_full = jnp.clip(cyi - (WIN_H // 2 - 1), 0, hp_tab[lvl_p] - WIN_H)
     x0_full = jnp.clip((cxi - (WIN_H // 2 - 1)) // X_ALIGN * X_ALIGN,
-                       0, wp_tab[lvl] - WIN_W)
-    y0_sdma = jnp.clip(cyi - (SWIN_H // 2 - 1), 0, hp_tab[lvl] - SWIN_H)
-    y0_mdma = jnp.clip(cyi - (MWIN_H // 2 - 1), 0, hp_tab[lvl] - MWIN_H)
+                       0, wp_tab[lvl_p] - WIN_W)
+    y0_sdma = jnp.clip(cyi - (SWIN_H // 2 - 1),
+                       0, hp_tab[lvl_p] - SWIN_H)
+    y0_mdma = jnp.clip(cyi - (MWIN_H // 2 - 1),
+                       0, hp_tab[lvl_p] - MWIN_H)
     x0_sdma = jnp.clip((cxi - (SWIN_W // 2 - 1)) // SX_ALIGN * SX_ALIGN,
-                       0, wp_tab[lvl] - SWIN_W)
+                       0, wp_tab[lvl_p] - SWIN_W)
     is_s = tier_dma == 1
     is_m = tier_dma == 2
     y0_dma = jnp.where(is_m, y0_mdma, jnp.where(is_s, y0_sdma, y0_full))
@@ -462,8 +471,9 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
 
     a = _build_a(sx, sy, WIN_H, WIN_W, s, feats[0].dtype)
 
-    b_idx = jnp.clip(ros[:, 0].astype(jnp.int32), 0, fp[0].shape[0] - 1)
-    meta1 = (b_idx * num_levels + lvl) * 4 + tier_dma
+    b_idx = jnp.clip(ros_p[:, 0].astype(jnp.int32), 0,
+                     fp[0].shape[0] - 1)
+    meta1 = (b_idx * num_levels + lvl_p) * 4 + tier_dma
     meta2 = y0_dma * 8192 + x0_dma
     # (tier>=1 count, tier>=2 count): the XLA exact tail sizes itself
     # by the first when it is the only oversize path, by the second
@@ -525,13 +535,26 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
 
     n_big = 0 if big_frac <= 0 else min(r, int(round(r * big_frac)))
     pad_min = (BWIN_H, BWIN_W) if n_big else (WIN_H, WIN_W)
+    # static split: the sorted suffix of length n_big is served by the
+    # big-window pass, so the std pass — and the A build + relayout
+    # feeding it — only covers the prefix (rounded up to a whole
+    # program; the <=rb-1 overlap rows are recomputed by the big pass
+    # and discarded). RS_ROI_BIG_SPLIT=0 restores compute-all +
+    # overwrite for A/B.
+    split = n_big and os.environ.get("RS_ROI_BIG_SPLIT", "1") != "0"
+    r_std = r if not split else min(r, (r - n_big) + (-(r - n_big)) % rb)
     a, meta1, meta2, fp, ros, lvl_s, inv_order, (n1, n2) = _prepare(
-        feats, rois_f, strides, finest_scale, p, s, pad_min=pad_min)
+        feats, rois_f, strides, finest_scale, p, s, pad_min=pad_min,
+        r_std=None if not split else r_std)
     # with the big-window pass on, only tier-2 (ext > _B_EXT) rois
     # still need the XLA exact tail; tier-1 get exact big windows
     n_need = n2 if n_big else n1
 
-    pooled = _pallas_pool(a, meta1, meta2, fp, rb, interpret)  # [R,PP,Cp]
+    if r_std:
+        pooled = _pallas_pool(a, meta1, meta2,
+                              fp, rb, interpret)       # [r_std,PP,Cp]
+    else:
+        pooled = None
 
     if n_big:
         # big-window pass over the sorted suffix: exact for tier-1
@@ -563,7 +586,13 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
         pooled_b = _pallas_pool(
             a_b, meta1_b, meta2_b, fp, 1, interpret,
             win_h=BWIN_H, win_w=BWIN_W, x_align=X_ALIGN, sub=None)
-        pooled = pooled.at[r - n_big:].set(pooled_b)
+        if pooled is None:
+            pooled = pooled_b
+        elif r_std < r:
+            pooled = jnp.concatenate(
+                [pooled[:r - n_big], pooled_b], axis=0)
+        else:
+            pooled = pooled.at[r - n_big:].set(pooled_b)
 
     pooled = pooled[..., :c]
 

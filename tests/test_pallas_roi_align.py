@@ -270,6 +270,23 @@ def test_big_window_tier_exact():
 
 
 @pytest.mark.slow
+def test_big_window_full_split_exact():
+    """big_frac=1.0: the static split (round 5) skips the std pass
+    entirely — every roi is served by the big-window pass alone."""
+    rng = np.random.RandomState(13)
+    feats = _pyramid(rng)
+    a = _rand_rois(rng, 12, 2, tier_a_only=True)
+    big = _tier1_rois(rng, 4, 2)
+    rois = jnp.concatenate([a, big], 0)
+    ref = roi_align_rotated_pyramid(feats, rois, 7, strides=STRIDES)
+    got = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.0,
+        big_frac=1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_big_window_plus_tier2_tail_exact():
     """big_frac > 0 AND fallback_frac > 0 with tier-2 (hairline) rois
     present: the XLA exact tail now sizes itself by the tier-2 count

@@ -83,6 +83,7 @@ def main():
             continue
         meta = plane.event_metadata
         per_op = defaultdict(float)
+        spans = []
         for line in plane.lines:
             lname = line.name.lower()
             # the serialized per-op line. "Async XLA Ops" spans overlap
@@ -95,6 +96,26 @@ def main():
             for ev in line.events:
                 name = meta[ev.metadata_id].name
                 per_op[name] += ev.duration_ps / 1e9  # -> ms
+                spans.append((ev.offset_ps,
+                              ev.offset_ps + ev.duration_ps))
+        # true device busy = union of event intervals. The per-op SUM
+        # double-counts control-flow wrappers (a `conditional`/`while`
+        # event covers its body ops, which are separate events on the
+        # same line) — round-5 found the sum exceeding the e2e step
+        # period by ~9%, which is physically impossible for serialized
+        # TensorCore ops.
+        busy_union = 0.0
+        if spans:
+            spans.sort()
+            cs, ce = spans[0]
+            for s0, e0 in spans[1:]:
+                if s0 > ce:
+                    busy_union += ce - cs
+                    cs, ce = s0, e0
+                else:
+                    ce = max(ce, e0)
+            busy_union += ce - cs
+            busy_union /= 1e9  # ps -> ms
         if not per_op:
             # fall back: deepest line by total nesting level
             lines = [ln for ln in plane.lines if ln.events]
@@ -104,8 +125,10 @@ def main():
             for ev in line.events:
                 per_op[meta[ev.metadata_id].name] += ev.duration_ps / 1e9
         total = sum(per_op.values())
-        print(f"\n== {plane.name}: {total / args.steps:.2f} ms/step "
-              f"device busy ({len(per_op)} distinct ops) ==")
+        print(f"\n== {plane.name}: {busy_union / args.steps:.2f} ms/step"
+              f" device busy (interval union; per-op sum "
+              f"{total / args.steps:.2f} double-counts control-flow "
+              f"wrappers; {len(per_op)} distinct ops) ==")
         by_bucket = defaultdict(float)
         for name, ms in per_op.items():
             by_bucket[_bucket(name)] += ms
