@@ -115,7 +115,7 @@ _A_U8 = os.environ.get("RS_ROI_A_U8", "1") != "0"
 
 def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
                  rb: int, win_h: int, win_w: int, x_align: int,
-                 sub=None):
+                 sub=None, inkernel_ss: int = 0):
     # sub = (swin_h, swin_w, off_y, off_x, sx_align) enables the
     # small-roi half-size DMA path; None disables it
     feat_refs = rest[:num_levels]
@@ -211,12 +211,37 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
                             win.at[slot, k, pl.ds(off_y, twin_h),
                                    pl.ds(off_x, twin_w), :],
                             sems.at[slot, k]).wait()
-        a = a_ref[k]                                     # [PP, AREA]
         w = win[slot, k].reshape(win_h * win_w, -1)      # [AREA, C]
-        u8 = a.dtype == jnp.uint8
-        if u8:
-            # Mosaic has no direct u8->bf16 cast; chain via i32/f32
-            a = a.astype(jnp.int32).astype(jnp.float32).astype(w.dtype)
+        u8 = False
+        if inkernel_ss:
+            # in-kernel A build (RS_ROI_A_INKERNEL=1): a_ref carries
+            # the window-relative sample coords [rb, 2, PP, SS] and A
+            # is built HERE, directly in the [PP, AREA] layout the MXU
+            # dot wants — no HBM A tensor, no build fusion, no R-minor
+            # relayout copy (5.7 + 3.4 ms standalone + the kernel's A
+            # input DMA at 16k rois, roofline §1). The build is VPU
+            # work that overlaps the window DMA waits.
+            sx = a_ref[k, 0]                             # [PP, SS] f32
+            sy = a_ref[k, 1]
+            area = win_h * win_w
+            q = jax.lax.broadcasted_iota(jnp.int32, (1, area), 1)
+            yq = (q // win_w).astype(jnp.float32)        # [1, AREA]
+            xq = (q - (q // win_w) * win_w).astype(jnp.float32)
+            acc = jnp.zeros((sx.shape[0], area), jnp.float32)
+            for j in range(inkernel_ss):
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(sy[:, j, None] - yq))
+                wx = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(sx[:, j, None] - xq))
+                acc = acc + wy * wx
+            a = (acc * (1.0 / inkernel_ss)).astype(w.dtype)
+        else:
+            a = a_ref[k]                                 # [PP, AREA]
+            u8 = a.dtype == jnp.uint8
+            if u8:
+                # Mosaic has no direct u8->bf16 cast; chain via i32/f32
+                a = a.astype(jnp.int32).astype(jnp.float32) \
+                    .astype(w.dtype)
         if _DEBUG == "nomatmul":
             pooled = (w[:49] * a[:, :1].astype(w.dtype)).astype(
                 jnp.float32)
@@ -230,21 +255,28 @@ def _pool_kernel(meta1_ref, meta2_ref, a_ref, *rest, num_levels: int,
 
 def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool,
                  win_h: int = WIN_H, win_w: int = WIN_W,
-                 x_align: int = X_ALIGN, sub="std"):
-    """a: [R, PP, AREA]; meta*: [R] int32; feats: padded per-level
+                 x_align: int = X_ALIGN, sub="std",
+                 inkernel_ss: int = 0):
+    """a: [R, PP, AREA] (dense A) or, with ``inkernel_ss`` = s*s, the
+    window-relative sample coords [R, 2, PP, s*s] from which the
+    kernel builds A itself; meta*: [R] int32; feats: padded per-level
     [N, Hp, Wp, Cp]. Returns [R, PP, Cp] in feats dtype."""
     if sub == "std":
         sub = ((SWIN_H, SWIN_W, S_OFF_Y, S_OFF_X, SX_ALIGN),
                (MWIN_H, SWIN_W, M_OFF_Y, S_OFF_X, SX_ALIGN))
     num_levels = len(feats)
-    r, pp, area = a.shape
+    r, pp = a.shape[0], a.shape[-2]
+    area = win_h * win_w
     cp = feats[0].shape[-1]
     dt = feats[0].dtype
+    a_block = ((rb, 2, pp, a.shape[-1]) if inkernel_ss
+               else (rb, pp, area))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(r // rb,),
         in_specs=(
-            [pl.BlockSpec((rb, pp, area), lambda i, *_: (i, 0, 0),
+            [pl.BlockSpec(a_block, lambda i, *_: (i,) + (0,)
+                          * (len(a_block) - 1),
                           memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * num_levels),
         out_specs=pl.BlockSpec((rb, pp, cp), lambda i, *_: (i, 0, 0),
@@ -254,21 +286,24 @@ def _pallas_pool(a, meta1, meta2, feats, rb: int, interpret: bool,
             pltpu.SemaphoreType.DMA((_NSLOTS, rb)),
         ],
     )
-    if a.dtype != jnp.uint8:
+    if not inkernel_ss and a.dtype != jnp.uint8:
         a = a.astype(dt)
     itemsize = jnp.dtype(dt).itemsize
     win_bytes = _NSLOTS * rb * win_h * win_w * cp * itemsize
     a_bytes = 2 * rb * pp * area * jnp.dtype(a.dtype).itemsize
+    # in-kernel A build: acc/wy/wx [PP, AREA] f32 temporaries
+    build_bytes = (4 * pp * area * 4) if inkernel_ss else 0
     out_bytes = 2 * rb * pp * cp * 4
     return pl.pallas_call(
         functools.partial(_pool_kernel, num_levels=num_levels, rb=rb,
                           win_h=win_h, win_w=win_w, x_align=x_align,
-                          sub=sub),
+                          sub=sub, inkernel_ss=inkernel_ss),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, pp, cp), dt),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=min(win_bytes + a_bytes + out_bytes
+            vmem_limit_bytes=min(win_bytes + a_bytes + build_bytes
+                                 + out_bytes
                                  + 4 * 1024 * 1024, 100 * 1024 * 1024)),
         interpret=interpret,
     )(meta1, meta2, a, *feats)
@@ -328,6 +363,15 @@ def _pad_level(f, min_h: int = WIN_H, min_w: int = WIN_W):
     return jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, cpad)))
 
 
+def _a_inkernel() -> bool:
+    """RS_ROI_A_INKERNEL=1: the std pool kernel builds A itself from
+    the sample coords (no HBM A tensor, no relayout copy). The
+    backward's A^T (and any host-side A) must then be built with the
+    same f32-sum -> *(1/s^2) -> cast order and WITHOUT the u8
+    quantization, so the adjoint matches the forward bit-for-bit."""
+    return os.environ.get("RS_ROI_A_INKERNEL", "0") == "1"
+
+
 def _build_a(sx, sy, win_h: int, win_w: int, s: int, dt):
     """Dense interpolation matrix A[r, bin, py*win_w+px] =
     (1/s^2) sum_j relu(1-|sy_j-py|) * relu(1-|sx_j-px|), from
@@ -350,6 +394,10 @@ def _build_a(sx, sy, win_h: int, win_w: int, s: int, dt):
     px = jnp.arange(win_w, dtype=jnp.float32)
     u8 = _A_U8 and jnp.dtype(dt) == jnp.bfloat16
     fold = os.environ.get("RS_ROI_A_FOLD", "1") != "0"
+    if _a_inkernel():
+        # match the in-kernel build exactly (f32 sum, * 1/s^2, cast):
+        # the backward's A^T must be the forward's A
+        u8, fold = False, False
     scale = (255.0 if u8 else 1.0) / float(s * s) if fold else 1.0
     a = None
     for j in range(s * s):
@@ -469,7 +517,10 @@ def _prepare(feats, rois_f, strides, finest_scale, p: int, s: int,
     # dead samples get weight 0 everywhere via an off-grid coordinate
     sx = jnp.where(live, sx, -10.0)
 
-    a = _build_a(sx, sy, WIN_H, WIN_W, s, feats[0].dtype)
+    if _a_inkernel():
+        a = jnp.stack([sx, sy], axis=1)        # [rp, 2, PP, s*s] f32
+    else:
+        a = _build_a(sx, sy, WIN_H, WIN_W, s, feats[0].dtype)
 
     b_idx = jnp.clip(ros_p[:, 0].astype(jnp.int32), 0,
                      fp[0].shape[0] - 1)
@@ -550,9 +601,10 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
     # still need the XLA exact tail; tier-1 get exact big windows
     n_need = n2 if n_big else n1
 
+    ik_ss = (s * s) if _a_inkernel() else 0
     if r_std:
-        pooled = _pallas_pool(a, meta1, meta2,
-                              fp, rb, interpret)       # [r_std,PP,Cp]
+        pooled = _pallas_pool(a, meta1, meta2, fp, rb, interpret,
+                              inkernel_ss=ik_ss)       # [r_std,PP,Cp]
     else:
         pooled = None
 
@@ -578,14 +630,18 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
         sy = jnp.clip(y - y0[:, None, None].astype(y.dtype), 0.0,
                       BWIN_H - 1.0)
         sx = jnp.where(live, sx, -10.0)
-        a_b = _build_a(sx, sy, BWIN_H, BWIN_W, s, fp[0].dtype)
+        if ik_ss:
+            a_b = jnp.stack([sx, sy], axis=1)
+        else:
+            a_b = _build_a(sx, sy, BWIN_H, BWIN_W, s, fp[0].dtype)
         b_idx = jnp.clip(ros_b[:, 0].astype(jnp.int32), 0,
                          fp[0].shape[0] - 1)
         meta1_b = (b_idx * num_levels + lvl_b) * 4
         meta2_b = y0 * 8192 + x0
         pooled_b = _pallas_pool(
             a_b, meta1_b, meta2_b, fp, 1, interpret,
-            win_h=BWIN_H, win_w=BWIN_W, x_align=X_ALIGN, sub=None)
+            win_h=BWIN_H, win_w=BWIN_W, x_align=X_ALIGN, sub=None,
+            inkernel_ss=ik_ss)
         if pooled is None:
             pooled = pooled_b
         elif r_std < r:
