@@ -500,6 +500,16 @@ def main():
                           "/tmp/rs_detection_tpu_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
                           "1")
+    # serving default: route the tier>=1 rois (probed 17.4% of the
+    # bench stream, round5_fb_need_probe) through the exact [40,64]
+    # big-window pass with the std pass statically split to the
+    # remainder — measured 46.68 vs 46.43 t/s same-window AND exact
+    # for all 2785 tier>=1 rois (the big-off path saturates its
+    # 2000-cap XLA tail and window-clamps the other 785). Inference
+    # only: big_frac > 0 switches training to the XLA-vjp backward,
+    # so the library default stays 0 (see
+    # models/roi_extractors/oriented_single_level.py).
+    os.environ.setdefault("RS_ROI_BIG_FRAC", "0.19")
 
     if not (args.tiny or args._child or args.no_supervise):
         # TPU path: probe + monitored child, never a bare stack trace

@@ -45,9 +45,16 @@ class OrientedSingleRoIExtractor:
             fallback_frac = float(os.environ.get(
                 "RS_ROI_FALLBACK_FRAC", 0.125))
         if big_frac is None:
-            # measured negative at C=256 (dense-A work scales with
-            # window area; the gather fallback scales with samples) —
-            # kept available for narrow-channel configs
+            # round-5 static split made this a serving win: 46.68 vs
+            # 46.43 t/s e2e AND exact for every tier>=1 roi (big-off
+            # saturates the 2000-cap XLA tail on the 17.4%-oversize
+            # bench stream and window-clamps the overflow). bench.py
+            # sets 0.19 for the dense headline; the LIBRARY default
+            # stays 0 because big_frac > 0 switches training to the
+            # XLA-vjp backward (pallas_roi_align.py:_pallas_bwd) —
+            # set it per-deployment for inference, sized to the
+            # workload's tier>=1 fraction plus margin (overflow past
+            # n_big falls back to the exact tail, never clamps)
             big_frac = float(os.environ.get("RS_ROI_BIG_FRAC", 0.0))
         roi_layer = roi_layer or {}
         self.output_size = roi_layer.get("output_size", 7)

@@ -598,8 +598,14 @@ def _pyramid_pallas_impl(feats, rois, output_size: int, strides,
         feats, rois_f, strides, finest_scale, p, s, pad_min=pad_min,
         r_std=None if not split else r_std)
     # with the big-window pass on, only tier-2 (ext > _B_EXT) rois
-    # still need the XLA exact tail; tier-1 get exact big windows
-    n_need = n2 if n_big else n1
+    # still need the XLA exact tail; tier-1 get exact big windows.
+    # Overflow guard: if the tier>=1 block is longer than the big
+    # suffix, the overflow tier-1 rois sit just before it in sorted
+    # order and would otherwise be served by the std pass with
+    # clamped windows — expand the exact tail to cover the whole
+    # tier>=1 block (n1 counts tier>=1, so it reaches them; the
+    # switch saturates at the static n_fb cap like the big-off path)
+    n_need = jnp.where(n1 > n_big, n1, n2) if n_big else n1
 
     ik_ss = (s * s) if _a_inkernel() else 0
     if r_std:

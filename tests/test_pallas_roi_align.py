@@ -309,6 +309,28 @@ def test_big_window_plus_tier2_tail_exact():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_big_window_tier1_overflow_exact():
+    """More tier-1 rois than the big suffix holds (big_frac set below
+    the actual tier-1 fraction): the overflow guard (round 5) must
+    expand the exact XLA tail to the whole tier>=1 block, so the
+    overflow rois do NOT silently go through the std pass with
+    clamped windows."""
+    rng = np.random.RandomState(17)
+    feats = _pyramid(rng)
+    a = _rand_rois(rng, 16, 2, tier_a_only=True)
+    big = _tier1_rois(rng, 12, 2)
+    rois = jnp.concatenate([a, big], 0)          # r=28, n1=12
+    ref = roi_align_rotated_pyramid(feats, rois, 7, strides=STRIDES)
+    # n_big = round(28*0.15) = 4 < n1 = 12 -> overflow; fallback caps
+    # [0,4,7,14] select 14 >= 12, covering the whole tier-1 block
+    got = roi_align_rotated_pyramid_pallas(
+        feats, rois, 7, strides=STRIDES, fallback_frac=0.5,
+        big_frac=0.15, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 class TestPallasBackward:
     """The A^T window-scatter backward (VERDICT round-2 #3): exact
     adjoint of the window forward, f32-checked against the XLA path's
